@@ -1,0 +1,174 @@
+"""ctypes bindings for the native host-side kernels (core.cpp).
+
+The shared library is compiled on first use with g++ (no pip deps).  All
+entry points take NumPy arrays; see core.cpp for the behavioral spec of each
+kernel (file:line citations into the bwa-mem2 reference).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_HERE, "libbwamem2_core.so")
+_SRC_PATH = os.path.join(_HERE, "core.cpp")
+_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> None:
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-fPIC", "-std=c++17", "-shared",
+         _SRC_PATH, "-o", _LIB_PATH + ".tmp"],
+        check=True, capture_output=True,
+    )
+    os.replace(_LIB_PATH + ".tmp", _LIB_PATH)
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_LIB_PATH)
+                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH)):
+            _build()
+        lib = ctypes.CDLL(_LIB_PATH)
+
+        c_i64 = ctypes.c_int64
+        c_i32 = ctypes.c_int32
+        p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        p_i8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        p_u32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+
+        lib.sais_u8.restype = ctypes.c_int
+        lib.sais_u8.argtypes = [p_u8, p_i64, c_i64, c_i64]
+
+        lib.bsw_extend.restype = ctypes.c_int
+        lib.bsw_extend.argtypes = [
+            ctypes.c_int, p_u8, ctypes.c_int, p_u8, ctypes.c_int, p_i8,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+
+        lib.bsw_extend_batch.restype = None
+        lib.bsw_extend_batch.argtypes = [
+            c_i64, p_u8, p_i64, p_i32, p_u8, p_i64, p_i32, p_i32, c_i32,
+            p_i8, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, p_i32]
+
+        lib.ksw_align.restype = None
+        lib.ksw_align.argtypes = [
+            ctypes.c_int, p_u8, ctypes.c_int, p_u8, ctypes.c_int, p_i8,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, p_i32]
+
+        lib.ksw_align_batch.restype = None
+        lib.ksw_align_batch.argtypes = [
+            c_i64, p_u8, p_i64, p_i32, p_u8, p_i64, p_i32, ctypes.c_int,
+            p_i8, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            p_i32, p_i32]
+
+        lib.ksw_global.restype = ctypes.c_int
+        lib.ksw_global.argtypes = [
+            ctypes.c_int, p_u8, ctypes.c_int, p_u8, ctypes.c_int, p_i8,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(c_i32), p_u32]
+
+        _lib = lib
+    return _lib
+
+
+def sais(seq: np.ndarray, k: int = 6) -> np.ndarray:
+    """Suffix array of a uint8 sequence (values < k), int64 output.
+
+    Matches the reference's sais-lite semantics (end-of-string sorts first);
+    used by the index builder exactly like FMI_search.cpp:372.
+    """
+    seq = np.ascontiguousarray(seq, dtype=np.uint8)
+    n = seq.shape[0]
+    sa = np.empty(n, dtype=np.int64)
+    rc = get_lib().sais_u8(seq, sa, n, k)
+    if rc != 0:
+        raise RuntimeError("sais failed")
+    return sa
+
+
+def bsw_extend(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
+               o_del: int, e_del: int, o_ins: int, e_ins: int, w: int,
+               end_bonus: int, zdrop: int, h0: int):
+    """Single banded SW extension; returns (score, qle, tle, gtle, gscore, max_off)."""
+    query = np.ascontiguousarray(query, dtype=np.uint8)
+    target = np.ascontiguousarray(target, dtype=np.uint8)
+    mat = np.ascontiguousarray(mat, dtype=np.int8)
+    m = int(np.sqrt(mat.size))
+    outs = [ctypes.c_int() for _ in range(5)]
+    score = get_lib().bsw_extend(
+        len(query), query, len(target), target, m, mat, o_del, e_del, o_ins,
+        e_ins, w, end_bonus, zdrop, h0,
+        *[ctypes.byref(o) for o in outs])
+    return (score,) + tuple(o.value for o in outs)
+
+
+def bsw_extend_batch(refs, ref_off, ref_len, qers, qer_off, qer_len, h0, w,
+                     mat, o_del, e_del, o_ins, e_ins, zdrop, end_bonus):
+    """Batched banded SW extension. Returns int32 array (n, 6):
+    score, qle, tle, gtle, gscore, max_off."""
+    n = len(ref_off)
+    out = np.empty((n, 6), dtype=np.int32)
+    mat = np.ascontiguousarray(mat, dtype=np.int8)
+    m = int(np.sqrt(mat.size))
+    get_lib().bsw_extend_batch(
+        n, np.ascontiguousarray(refs, np.uint8),
+        np.ascontiguousarray(ref_off, np.int64),
+        np.ascontiguousarray(ref_len, np.int32),
+        np.ascontiguousarray(qers, np.uint8),
+        np.ascontiguousarray(qer_off, np.int64),
+        np.ascontiguousarray(qer_len, np.int32),
+        np.ascontiguousarray(h0, np.int32), w, mat, m,
+        o_del, e_del, o_ins, e_ins, zdrop, end_bonus, out)
+    return out
+
+
+def ksw_align(query, target, mat, o_del, e_del, o_ins, e_ins, xtra):
+    """Local striped SW; returns (score, te, qe, score2, te2, tb, qb)."""
+    query = np.ascontiguousarray(query, dtype=np.uint8)
+    target = np.ascontiguousarray(target, dtype=np.uint8)
+    mat = np.ascontiguousarray(mat, dtype=np.int8)
+    m = int(np.sqrt(mat.size))
+    out = np.empty(7, dtype=np.int32)
+    get_lib().ksw_align(len(query), query, len(target), target, m, mat,
+                        o_del, e_del, o_ins, e_ins, xtra, out)
+    return tuple(int(x) for x in out)
+
+
+def ksw_global(query, target, mat, o_del, e_del, o_ins, e_ins, w,
+               traceback: bool = True):
+    """Banded global alignment. Returns (score, cigar) where cigar is a
+    uint32 array of len<<4|op (op: 0=M,1=I,2=D), or (score, None)."""
+    query = np.ascontiguousarray(query, dtype=np.uint8)
+    target = np.ascontiguousarray(target, dtype=np.uint8)
+    mat = np.ascontiguousarray(mat, dtype=np.int8)
+    m = int(np.sqrt(mat.size))
+    if traceback:
+        buf = np.zeros(len(query) + len(target) + 2, dtype=np.uint32)
+        n_cigar = ctypes.c_int32()
+        score = get_lib().ksw_global(len(query), query, len(target), target,
+                                     m, mat, o_del, e_del, o_ins, e_ins, w,
+                                     ctypes.byref(n_cigar), buf)
+        return score, buf[: n_cigar.value].copy()
+    score = get_lib().ksw_global(len(query), query, len(target), target, m,
+                                 mat, o_del, e_del, o_ins, e_ins, w,
+                                 None, np.zeros(1, dtype=np.uint32))
+    return score, None
