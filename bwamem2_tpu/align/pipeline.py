@@ -1,0 +1,96 @@
+"""Batch alignment pipeline — mem_process_seqs analog (bwamem.cpp:1338-1390).
+
+Three phases over a chunk of reads:
+  1. seeding + SA lookup + chaining + chain filtering   (worker_bwt)
+  2. banded-SW extension                                 (worker_aln)
+  3. pair-end statistics + pairing/rescue + SAM          (worker_sam)
+
+The seeding and extension kernels are pluggable (host oracle vs TPU); the
+`backend` object provides collect_smems / extension kernels.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..index.fmindex import FMIndex
+from ..options import MEM_F_PE, MEM_F_PRIMARY5, MemOptions
+from . import chain as chain_mod
+from . import extend as extend_mod
+from . import finalize as fin
+from .seeding import collect_smems, encode_reads
+
+
+class Aligner:
+    def __init__(self, fm: FMIndex, opt: MemOptions, backend=None,
+                 rg_id: str | None = None, verbose: int = 3):
+        self.fm = fm
+        self.opt = opt
+        self.backend = backend  # None = host oracle path
+        self.rg_id = rg_id
+        self.verbose = verbose
+
+    # ---- phase 1: seeds -> chains ----
+    def kernel1(self, encs):
+        fm, opt = self.fm, self.opt
+        if self.backend is not None:
+            smems_per_read = self.backend.collect_smems(encs, opt)
+        else:
+            smems_per_read = collect_smems(fm, encs, opt)
+        chains_per_read = []
+        for seqid, (enc, smems) in enumerate(zip(encs, smems_per_read)):
+            chains = chain_mod.chain_seeds(fm, opt, seqid, len(enc), smems)
+            chains = chain_mod.chain_filter(opt, chains)
+            chain_mod.filter_chained_seeds(fm, opt, len(enc), enc, chains)
+            chains_per_read.append(chains)
+        return chains_per_read
+
+    # ---- phase 2: chains -> alignment regions ----
+    def kernel2(self, encs, chains_per_read):
+        fm, opt = self.fm, self.opt
+        kw = {}
+        if self.backend is not None:
+            kw = dict(left_kernel=self.backend.left_bsw_kernel,
+                      right_kernel=self.backend.right_bsw_kernel)
+        regs_per_read = extend_mod.extend_chains(fm, opt, encs,
+                                                 chains_per_read, **kw)
+        out = []
+        for seqid, (enc, regs) in enumerate(zip(encs, regs_per_read)):
+            regs = [r for r in regs if r.qe > r.qb]
+            regs = fin.sort_dedup_patch(fm, opt, enc, regs)
+            for r in regs:
+                if r.rid >= 0 and fm.bns.anns[r.rid].is_alt:
+                    r.is_alt = 1
+            out.append(regs)
+        return out
+
+    # ---- phase 3: SAM ----
+    def kernel3_se(self, reads, encs, regs_per_read, n_processed: int):
+        fm, opt = self.fm, self.opt
+        for i, (read, enc, regs) in enumerate(zip(reads, encs, regs_per_read)):
+            regs, n_pri = fin.mark_primary(opt, regs, n_processed + i)
+            if opt.flag & MEM_F_PRIMARY5:
+                fin.reorder_primary5(opt.T, regs)
+            read.sam = fin.reg2sam(fm, opt, read, enc, regs, 0, None,
+                                   self.rg_id)
+
+    def process(self, reads, n_processed: int, pes0=None):
+        """Align one chunk; fills read.sam for every read."""
+        encs = encode_reads([r.seq for r in reads])
+        chains_per_read = self.kernel1(encs)
+        regs_per_read = self.kernel2(encs, chains_per_read)
+        if self.opt.flag & MEM_F_PE:
+            from . import pairing
+            pes = pes0 if pes0 is not None else pairing.pestat(
+                self.opt, self.fm.l_pac, regs_per_read,
+                verbose=self.verbose)
+            for i in range(0, len(reads), 2):
+                pairing.sam_pe(self.fm, self.opt, pes,
+                               (n_processed >> 1) + (i >> 1),
+                               reads[i:i + 2], encs[i:i + 2],
+                               regs_per_read[i:i + 2], self.rg_id)
+        else:
+            self.kernel3_se(reads, encs, regs_per_read, n_processed)
+        return len(reads)

@@ -71,7 +71,8 @@ class MemOptions:
     XA_drop_ratio: float = 0.80
     mask_level_redun: float = 0.95
     mapQ_coef_len: float = 50.0
-    mapQ_coef_fac: float = math.log(50.0)
+    # NB: an int in the reference struct — (int)log(50) == 3 (bwamem.h:103)
+    mapQ_coef_fac: int = int(math.log(50.0))
     max_ins: int = 10000
     max_matesw: int = 50
     max_XA_hits: int = 5
@@ -86,7 +87,7 @@ class MemOptions:
         setattr(self, name, value)
         self._set.add(name)
         if name == "mapQ_coef_len":
-            self.mapQ_coef_fac = math.log(value) if value > 0 else 0.0
+            self.mapQ_coef_fac = int(math.log(value)) if value > 0 else 0
 
     def was_set(self, name: str) -> bool:
         return name in self._set

@@ -1,0 +1,48 @@
+"""End-to-end golden tests: SAM output must be bit-identical to the
+reference bwa-mem2 binary's output on the committed fixtures."""
+
+import os
+
+import pytest
+
+from bwamem2_tpu.align.pipeline import Aligner
+from bwamem2_tpu.index.fmindex import FMIndex
+from bwamem2_tpu.io.fastq import FastxReader, read_chunk
+from bwamem2_tpu.options import MEM_F_PE, MemOptions
+
+from conftest import DATA, FIXTURES
+
+PREFIX = os.path.join(FIXTURES, "ref_small.fa")
+
+
+@pytest.fixture(scope="module")
+def fm():
+    return FMIndex.load(PREFIX)
+
+
+def golden_lines(name):
+    with open(os.path.join(FIXTURES, name)) as f:
+        return [l for l in f if not l.startswith("@")]
+
+
+def test_single_end_bit_identical(fm):
+    opt = MemOptions().finalize()
+    reads = read_chunk(FastxReader(os.path.join(DATA, "reads_se.fq")),
+                       None, 10**9)
+    Aligner(fm, opt, verbose=0).process(reads, 0)
+    ours = "".join(r.sam for r in reads).splitlines(keepends=True)
+    golden = golden_lines("golden_se.sam")
+    assert len(ours) == len(golden)
+    assert ours == golden
+
+
+def test_paired_end_bit_identical(fm):
+    opt = MemOptions().finalize()
+    opt.flag |= MEM_F_PE
+    reads = read_chunk(FastxReader(os.path.join(DATA, "reads_r1.fq")),
+                       FastxReader(os.path.join(DATA, "reads_r2.fq")), 10**9)
+    Aligner(fm, opt, verbose=0).process(reads, 0)
+    ours = "".join(r.sam for r in reads).splitlines(keepends=True)
+    golden = golden_lines("golden_pe.sam")
+    assert len(ours) == len(golden)
+    assert ours == golden
