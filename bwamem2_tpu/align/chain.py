@@ -74,15 +74,33 @@ def test_and_merge(opt, l_pac: int, c: Chain, p: Seed, seed_rid: int) -> bool:
     return False
 
 
+def sa_positions(opt, smems: list[tuple]) -> np.ndarray:
+    """BWT positions whose SA entries chaining will need, in consumption
+    order (get_sa_entries sampling: stride s/max_occ, capped at max_occ)."""
+    pos = []
+    for (_, m, n, k, _, s) in smems:
+        step = s // opt.max_occ if s > opt.max_occ else 1
+        count = 0
+        j = 0
+        while j < s and count < opt.max_occ:
+            pos.append(k + j)
+            j += step
+            count += 1
+    return np.array(pos, dtype=np.int64)
+
+
 def chain_seeds(fm: FMIndex, opt, seqid: int, l_seq: int,
-                smems: list[tuple]) -> list[Chain]:
+                smems: list[tuple], coords: np.ndarray | None = None) -> list[Chain]:
     """SA-resolve SMEMs into seeds and chain them (mem_chain_seeds).
 
-    smems: (rid, m, n, k, l, s) sorted by (m, n).  Returns chains in
-    genome-position order (B-tree in-order traversal equivalent)."""
+    smems: (rid, m, n, k, l, s) sorted by (m, n).  coords: optional
+    pre-resolved SA entries for sa_positions(opt, smems) (device batch);
+    resolved on the host when absent.  Returns chains in genome-position
+    order (B-tree in-order traversal equivalent)."""
     if not smems or l_seq < opt.min_seed_len:
         return []
     l_pac = fm.l_pac
+    coord_iter = iter(coords) if coords is not None else None
 
     # repeat fraction: coverage of the read by high-occurrence SMEMs
     b = e = l_rep = 0
@@ -105,7 +123,8 @@ def chain_seeds(fm: FMIndex, opt, seqid: int, l_seq: int,
         count = 0
         j = 0
         while j < s and count < opt.max_occ:
-            rbeg = fm.get_sa_entry(k + j)
+            rbeg = (int(next(coord_iter)) if coord_iter is not None
+                    else fm.get_sa_entry(k + j))
             seed = Seed(rbeg=rbeg, qbeg=m, len=slen, score=slen)
             rid = fm.bns.intv2rid(rbeg, rbeg + slen)
             j += step

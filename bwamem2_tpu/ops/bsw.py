@@ -1,0 +1,221 @@
+"""Banded Smith-Waterman seed extension on device.
+
+Vectorizes the scalar extension DP (behavioral spec: bandedSWA.cpp:116-237 ==
+ksw_extend2) ACROSS PAIRS: lane = one extension problem, exactly like the
+reference's SIMD strategy of one SeqPair per SSE/AVX lane with length-sorted
+batches (bandedSWA.cpp:1997-2126).  Shapes are fixed per bucket
+(query<=Qmax, target<=Tmax) so XLA compiles once per bucket; oversized tail
+pairs fall back to the native host kernel, mirroring the reference's
+8-bit/16-bit/scalar class split (sortPairsLenExt, bwamem.cpp:1926-2023).
+
+All the scalar kernel's control flow is reproduced with masks: adaptive band
+[beg, end) including the post-row shrink-to-nonzero scan, per-row max with
+the rightmost-tie rule, z-drop and row-max==0 termination, end-bonus gscore
+tracking.  Outputs are bit-identical to the host kernel (tested).
+
+DNA scoring is computed arithmetically (match/mismatch/ambig) instead of a
+5x5 gather — bwa_fill_scmat matrices always have that structure.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+I32 = jnp.int32
+NEG_BIG = jnp.int32(-(1 << 30))
+
+
+@partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13, 14))
+def bsw_kernel(q, t, qlen, tlen, h0, w_in, mat_a, mat_b,
+               o_del: int, e_del: int, o_ins: int, e_ins: int,
+               zdrop: int, end_bonus: int, max_sc: int):
+    """Batched banded SW extension.
+
+    q: int32[P, Qmax] query codes (lane-padded with 4), t: int32[P, Tmax],
+    qlen/tlen/h0/w_in: int32[P].  mat_a/mat_b: match score / mismatch penalty
+    (positive).  Returns int32[P, 6]: score qle tle gtle gscore max_off."""
+    P, Qmax = q.shape
+    Tmax = t.shape[1]
+    oe_del = o_del + e_del
+    oe_ins = o_ins + e_ins
+
+    cols = jnp.arange(Qmax + 1, dtype=I32)[None, :]          # (1, Qmax+1)
+
+    # first row: H[j] = max(h0 - oe_ins - (j-1)*e_ins, 0), H[0] = h0
+    tj = h0[:, None] - oe_ins - (cols - 1) * e_ins
+    H = jnp.where(cols == 0, h0[:, None], jnp.maximum(tj, 0)).astype(I32)
+    H = jnp.where(cols <= qlen[:, None], H, 0)
+    E = jnp.zeros((P, Qmax + 1), I32)
+
+    # clamp the band (bandedSWA.cpp:147-156)
+    max_ins = jnp.floor((qlen * max_sc + end_bonus - o_ins) / e_ins + 1.0) \
+        .astype(I32)
+    max_del = jnp.floor((qlen * max_sc + end_bonus - o_del) / e_del + 1.0) \
+        .astype(I32)
+    w = jnp.minimum(w_in, jnp.maximum(max_ins, 1))
+    w = jnp.minimum(w, jnp.maximum(max_del, 1))
+
+    mx = h0.astype(I32)
+    max_i = jnp.full((P,), -1, I32)
+    max_j = jnp.full((P,), -1, I32)
+    max_ie = jnp.full((P,), -1, I32)
+    gscore = jnp.full((P,), -1, I32)
+    max_off = jnp.zeros((P,), I32)
+    beg = jnp.zeros((P,), I32)
+    end = qlen.astype(I32)
+    done = tlen <= 0
+
+    def row_body(i, st):
+        (H, E, mx, max_i, max_j, max_ie, gscore, max_off, beg, end,
+         done) = st
+        act_row = ~done & (i < tlen)
+        beg_r = jnp.maximum(beg, i - w)
+        end_r = jnp.minimum(jnp.minimum(end, i + w + 1), qlen)
+        ti = jnp.take_along_axis(
+            t, jnp.minimum(jnp.full((P, 1), i, I32), Tmax - 1), axis=1)[:, 0]
+        h1_0 = jnp.where(beg_r == 0,
+                         jnp.maximum(h0 - (o_del + e_del * (i + 1)), 0),
+                         0).astype(I32)
+
+        def col_body(j, cst):
+            H, E, f, h1, m, mj = cst
+            act = act_row & (j >= beg_r) & (j < end_r)
+            M = H[:, j]
+            e = E[:, j]
+            H = H.at[:, j].set(jnp.where(act, h1, H[:, j]))
+            qj = q[:, j]
+            s_ij = jnp.where((ti >= 4) | (qj >= 4), -1,
+                             jnp.where(ti == qj, mat_a, -mat_b)).astype(I32)
+            M = jnp.where(M != 0, M + s_ij, 0)
+            h = jnp.maximum(jnp.maximum(M, e), f)
+            mj = jnp.where(act & (m <= h), j, mj)
+            m = jnp.where(act, jnp.maximum(m, h), m)
+            h1 = jnp.where(act, h, h1)
+            tt = jnp.maximum(M - oe_del, 0)
+            e = jnp.maximum(e - e_del, tt)
+            E = E.at[:, j].set(jnp.where(act, e, E[:, j]))
+            tt = jnp.maximum(M - oe_ins, 0)
+            f = jnp.where(act, jnp.maximum(f - e_ins, tt), f)
+            return H, E, f, h1, m, mj
+
+        f0 = jnp.zeros((P,), I32)
+        m0 = jnp.zeros((P,), I32)
+        mj0 = jnp.full((P,), -1, I32)
+        H, E, f, h1, m, mj = jax.lax.fori_loop(
+            0, Qmax, col_body, (H, E, f0, h1_0, m0, mj0))
+
+        # eh[end].h = h1; eh[end].e = 0
+        endcol = end_r[:, None]
+        H = jnp.where(act_row[:, None] & (cols == endcol), h1[:, None], H)
+        E = jnp.where(act_row[:, None] & (cols == endcol), 0, E)
+
+        # gscore bookkeeping when the row spans the full query
+        full = act_row & (end_r == qlen)
+        max_ie = jnp.where(full & (gscore <= h1), i, max_ie)
+        gscore = jnp.where(full, jnp.maximum(gscore, h1), gscore)
+
+        # termination + max update + zdrop
+        newly_done = act_row & (m == 0)
+        upd = act_row & (m > mx)
+        off = jnp.abs(mj - i)
+        max_off = jnp.where(upd, jnp.maximum(max_off, off), max_off)
+        mx2 = jnp.where(upd, m, mx)
+        max_i = jnp.where(upd, i, max_i)
+        max_j = jnp.where(upd, mj, max_j)
+        if zdrop > 0:
+            del_case = (i - max_i) > (mj - max_j)
+            zd = jnp.where(
+                del_case,
+                mx - m - ((i - max_i) - (mj - max_j)) * e_del > zdrop,
+                mx - m - ((mj - max_j) - (i - max_i)) * e_ins > zdrop)
+            newly_done = newly_done | (act_row & ~upd & ~(m == 0) & zd)
+        mx = mx2
+
+        # band shrink to the nonzero region (bandedSWA.cpp:218-221)
+        nz = (H != 0) | (E != 0)
+        inA = (cols >= beg_r[:, None]) & (cols < end_r[:, None]) & nz
+        first = jnp.min(jnp.where(inA, cols, Qmax + 2), axis=1)
+        beg_n = jnp.minimum(first, end_r)
+        inB = (cols >= beg_r[:, None]) & (cols <= end_r[:, None]) & nz
+        last = jnp.max(jnp.where(inB, cols, beg_r[:, None] - 1), axis=1)
+        end_n = jnp.minimum(last + 2, qlen)
+
+        keep = act_row & ~newly_done
+        beg = jnp.where(keep, beg_n, beg_r)
+        end = jnp.where(keep, end_n, end_r)
+        done = done | newly_done
+        return (H, E, mx, max_i, max_j, max_ie, gscore, max_off, beg, end,
+                done)
+
+    st = (H, E, mx, max_i, max_j, max_ie, gscore, max_off, beg, end, done)
+    st = jax.lax.fori_loop(0, Tmax, row_body, st)
+    (_, _, mx, max_i, max_j, max_ie, gscore, max_off, _, _, _) = st
+    out = jnp.stack([mx, max_j + 1, max_i + 1, max_ie + 1, gscore, max_off],
+                    axis=1)
+    return out
+
+
+# buckets: (Qmax, Tmax); pairs beyond the last bucket go to the host kernel
+BUCKETS = [(128, 256), (256, 608)]
+
+
+class DeviceBSW:
+    """Bucketed device dispatch for the extension pairs."""
+
+    def __init__(self, dfm, opt):
+        self.opt = opt
+        self.max_sc = max(opt.a, 1)
+
+    def _run(self, pending, w, opt, end_bonus):
+        n = len(pending)
+        out = np.zeros((n, 6), np.int32)
+        idx_by_bucket = {b: [] for b in BUCKETS}
+        host_idx = []
+        for i, p in enumerate(pending):
+            ql, tl = len(p.qer), len(p.ref)
+            for (Q, T) in BUCKETS:
+                if ql <= Q and tl <= T:
+                    idx_by_bucket[(Q, T)].append(i)
+                    break
+            else:
+                host_idx.append(i)
+        for (Q, T), idxs in idx_by_bucket.items():
+            if not idxs:
+                continue
+            P = len(idxs)
+            q = np.full((P, Q), 4, np.int32)
+            t = np.full((P, T), 4, np.int32)
+            qlen = np.zeros((P,), np.int32)
+            tlen = np.zeros((P,), np.int32)
+            h0 = np.zeros((P,), np.int32)
+            for r, i in enumerate(idxs):
+                p = pending[i]
+                q[r, : len(p.qer)] = p.qer
+                t[r, : len(p.ref)] = p.ref
+                qlen[r] = len(p.qer)
+                tlen[r] = len(p.ref)
+                h0[r] = p.h0
+            res = bsw_kernel(jnp.asarray(q), jnp.asarray(t),
+                             jnp.asarray(qlen), jnp.asarray(tlen),
+                             jnp.asarray(h0),
+                             jnp.full((P,), w, np.int32),
+                             opt.a, opt.b, opt.o_del, opt.e_del, opt.o_ins,
+                             opt.e_ins, opt.zdrop, end_bonus, self.max_sc)
+            out[np.array(idxs)] = np.asarray(res)
+        if host_idx:
+            from ..align.extend import native_bsw_kernel_factory
+            sub = [pending[i] for i in host_idx]
+            attr = "pen_clip5" if end_bonus == opt.pen_clip5 else "pen_clip3"
+            res = native_bsw_kernel_factory(attr)(sub, w, opt)
+            out[np.array(host_idx)] = res
+        return out
+
+    def left_kernel(self, pending, w, opt):
+        return self._run(pending, w, opt, opt.pen_clip5)
+
+    def right_kernel(self, pending, w, opt):
+        return self._run(pending, w, opt, opt.pen_clip3)
