@@ -17,6 +17,7 @@ import numpy as np
 
 from ..index.fmindex import FMIndex
 from ..options import MEM_F_PE, MEM_F_PRIMARY5, MemOptions
+from ..utils.profiling import PROF
 from . import chain as chain_mod
 from . import extend as extend_mod
 from . import finalize as fin
@@ -48,12 +49,13 @@ class Aligner:
             smems_per_read = collect_smems(fm, encs, opt)
             coords = [None] * len(encs)
         chains_per_read = []
-        for seqid, (enc, smems) in enumerate(zip(encs, smems_per_read)):
-            chains = chain_mod.chain_seeds(fm, opt, seqid, len(enc), smems,
-                                           coords=coords[seqid])
-            chains = chain_mod.chain_filter(opt, chains)
-            chain_mod.filter_chained_seeds(fm, opt, len(enc), enc, chains)
-            chains_per_read.append(chains)
+        with PROF("chaining"):
+            for seqid, (enc, smems) in enumerate(zip(encs, smems_per_read)):
+                chains = chain_mod.chain_seeds(fm, opt, seqid, len(enc),
+                                               smems, coords=coords[seqid])
+                chains = chain_mod.chain_filter(opt, chains)
+                chain_mod.filter_chained_seeds(fm, opt, len(enc), enc, chains)
+                chains_per_read.append(chains)
         return chains_per_read
 
     # ---- phase 2: chains -> alignment regions ----
@@ -63,22 +65,25 @@ class Aligner:
         if self.backend is not None:
             kw = dict(left_kernel=self.backend.left_bsw_kernel,
                       right_kernel=self.backend.right_bsw_kernel)
-        regs_per_read = extend_mod.extend_chains(fm, opt, encs,
-                                                 chains_per_read, **kw)
+        with PROF("extension.bsw"):
+            regs_per_read = extend_mod.extend_chains(fm, opt, encs,
+                                                     chains_per_read, **kw)
         out = []
-        for seqid, (enc, regs) in enumerate(zip(encs, regs_per_read)):
-            regs = [r for r in regs if r.qe > r.qb]
-            regs = fin.sort_dedup_patch(fm, opt, enc, regs)
-            for r in regs:
-                if r.rid >= 0 and fm.bns.anns[r.rid].is_alt:
-                    r.is_alt = 1
-            out.append(regs)
+        with PROF("dedup_patch"):
+            for seqid, (enc, regs) in enumerate(zip(encs, regs_per_read)):
+                regs = [r for r in regs if r.qe > r.qb]
+                regs = fin.sort_dedup_patch(fm, opt, enc, regs)
+                for r in regs:
+                    if r.rid >= 0 and fm.bns.anns[r.rid].is_alt:
+                        r.is_alt = 1
+                out.append(regs)
         return out
 
     # ---- phase 3: SAM ----
     def kernel3_se(self, reads, encs, regs_per_read, n_processed: int):
         fm, opt = self.fm, self.opt
-        for i, (read, enc, regs) in enumerate(zip(reads, encs, regs_per_read)):
+        for i, (read, enc, regs) in enumerate(zip(reads, encs,
+                                                  regs_per_read)):
             regs, n_pri = fin.mark_primary(opt, regs, n_processed + i)
             if opt.flag & MEM_F_PRIMARY5:
                 fin.reorder_primary5(opt.T, regs)
@@ -92,14 +97,17 @@ class Aligner:
         regs_per_read = self.kernel2(encs, chains_per_read)
         if self.opt.flag & MEM_F_PE:
             from . import pairing
-            pes = pes0 if pes0 is not None else pairing.pestat(
-                self.opt, self.fm.l_pac, regs_per_read,
-                verbose=self.verbose)
-            for i in range(0, len(reads), 2):
-                pairing.sam_pe(self.fm, self.opt, pes,
-                               (n_processed >> 1) + (i >> 1),
-                               reads[i:i + 2], encs[i:i + 2],
-                               regs_per_read[i:i + 2], self.rg_id)
+            with PROF("pestat"):
+                pes = pes0 if pes0 is not None else pairing.pestat(
+                    self.opt, self.fm.l_pac, regs_per_read,
+                    verbose=self.verbose)
+            with PROF("pairing"):
+                for i in range(0, len(reads), 2):
+                    pairing.sam_pe(self.fm, self.opt, pes,
+                                   (n_processed >> 1) + (i >> 1),
+                                   reads[i:i + 2], encs[i:i + 2],
+                                   regs_per_read[i:i + 2], self.rg_id)
         else:
-            self.kernel3_se(reads, encs, regs_per_read, n_processed)
+            with PROF("finalize.sam"):
+                self.kernel3_se(reads, encs, regs_per_read, n_processed)
         return len(reads)

@@ -5,6 +5,31 @@ Importing this package enables jax x64: FM-index coordinates span up to
 block ids (occ block id = pos >> 6 < 2**31 for any real genome).
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: the kernel set is small and shape-bucketed,
+# so warm starts skip all XLA compiles
+_cache = _os.environ.get("BWAMEM2_TPU_JAX_CACHE",
+                         _os.path.expanduser("~/.cache/bwamem2_tpu_jax"))
+try:
+    _os.makedirs(_cache, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover
+    pass
+
+
+def round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def bucket_pow2(n: int, lo: int = 256) -> int:
+    """Smallest power-of-two >= max(n, lo) — shape bucketing for jit."""
+    b = lo
+    while b < n:
+        b <<= 1
+    return b

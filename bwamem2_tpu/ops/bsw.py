@@ -186,7 +186,8 @@ class DeviceBSW:
         for (Q, T), idxs in idx_by_bucket.items():
             if not idxs:
                 continue
-            P = len(idxs)
+            from . import bucket_pow2
+            P = bucket_pow2(len(idxs), 128)
             q = np.full((P, Q), 4, np.int32)
             t = np.full((P, T), 4, np.int32)
             qlen = np.zeros((P,), np.int32)
@@ -205,7 +206,7 @@ class DeviceBSW:
                              jnp.full((P,), w, np.int32),
                              opt.a, opt.b, opt.o_del, opt.e_del, opt.o_ins,
                              opt.e_ins, opt.zdrop, end_bonus, self.max_sc)
-            out[np.array(idxs)] = np.asarray(res)
+            out[np.array(idxs)] = np.asarray(res)[: len(idxs)]
         if host_idx:
             from ..align.extend import native_bsw_kernel_factory
             sub = [pending[i] for i in host_idx]

@@ -38,21 +38,27 @@ class DeviceFMIndex:
     sa_ls: jax.Array      # uint32[(n>>3)+1]
     sentinel: jax.Array   # int64 scalar
     ref: jax.Array        # uint8[2*l_pac]
+    lut_k: jax.Array      # int64[4^K] K-mer interval starts (or size-1 dummy)
+    lut_s: jax.Array      # int64[4^K] K-mer interval sizes
 
     def tree_flatten(self):
         return ((self.cp_count, self.oh_hi, self.oh_lo, self.counts,
-                 self.sa_ms, self.sa_ls, self.sentinel, self.ref), None)
+                 self.sa_ms, self.sa_ls, self.sentinel, self.ref,
+                 self.lut_k, self.lut_s), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
 
     @classmethod
-    def from_host(cls, fm: FMIndex, device=None) -> "DeviceFMIndex":
+    def from_host(cls, fm: FMIndex, device=None,
+                  lut: tuple | None = None) -> "DeviceFMIndex":
         oh = fm.one_hot
         oh_hi = (oh >> np.uint64(32)).astype(np.uint32)
         oh_lo = (oh & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         put = partial(jax.device_put, device=device)
+        lut_k = lut[0] if lut else np.zeros(1, np.int64)
+        lut_s = lut[1] if lut else np.zeros(1, np.int64)
         return cls(
             cp_count=put(fm.cp_count.astype(np.int64)),
             oh_hi=put(oh_hi),
@@ -62,6 +68,8 @@ class DeviceFMIndex:
             sa_ls=put(fm.sa_ls_word.astype(np.uint32)),
             sentinel=put(jnp.int64(fm.sentinel_index)),
             ref=put(fm.ref_string),
+            lut_k=put(lut_k.astype(np.int64)),
+            lut_s=put(lut_s.astype(np.int64)),
         )
 
 

@@ -78,6 +78,97 @@ def round1_kernel(dfm: DeviceFMIndex, enc: jax.Array, lens: jax.Array):
     return b, k, s
 
 
+@partial(jax.jit, static_argnums=(3, 4))
+def round1_phase_kernel(dfm: DeviceFMIndex, enc: jax.Array, lens: jax.Array,
+                        n_iters: int, lut_k: int = 0):
+    """First n_iters backward steps for every (read, end) lane (fori, no
+    convergence test).  Most lanes' intervals empty within ~20 steps on a
+    mammalian genome; survivors continue in round1_tail_kernel over a
+    compacted lane set — the TPU equivalent of the reference's head/tail
+    compaction (getSMEMsAllPosOneThread, FMI_search.cpp:693-721).
+
+    With lut_k > 0, lanes whose last-lut_k-char window is clean (no N, fully
+    inside the read) start from the precomputed K-mer interval, skipping
+    lut_k LF steps (index/klut.py)."""
+    N, L = enc.shape
+    pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), (N, L))
+    a0 = enc
+    valid = (a0 < 4) & (pos < lens[:, None])
+    a0c = jnp.where(valid, a0, 0).astype(jnp.int32)
+    k = dfm.counts[a0c]
+    s = dfm.counts[a0c + 1] - dfm.counts[a0c]
+    b = jnp.where(valid, pos, pos + 1)
+    col = pos - 1
+    alive = valid
+
+    if lut_k:
+        # rolling K-mer codes + N detection over the window ending at pos
+        code = jnp.zeros((N, L), jnp.int32)
+        nbad = jnp.zeros((N, L), jnp.int32)
+        for i in range(lut_k):
+            sh = jnp.roll(a0c, i, axis=1)      # char at pos - i
+            sh = jnp.where(pos - i >= 0, sh, 0)
+            bad = jnp.roll((a0 >= 4).astype(jnp.int32), i, axis=1)
+            bad = jnp.where(pos - i >= 0, bad, 1)
+            code = code + (sh << (2 * i))      # base^i for offset i from end
+            nbad = nbad + bad
+        use_lut = valid & (nbad == 0) & (pos >= lut_k - 1)
+        lk = dfm.lut_k[code]
+        ls = dfm.lut_s[code]
+        use_lut = use_lut & (ls > 0)
+        k = jnp.where(use_lut, lk, k)
+        s = jnp.where(use_lut, ls, s)
+        b = jnp.where(use_lut, pos - lut_k + 1, b)
+        col = jnp.where(use_lut, pos - lut_k, col)
+
+    def body(_, st):
+        alive, col, k, s, b = st
+        c = jnp.take_along_axis(enc, jnp.maximum(col, 0).astype(jnp.int32),
+                                axis=1)
+        ok = alive & (col >= 0) & (c < 4)
+        cc = jnp.where(ok, c, 0).astype(jnp.int32)
+        k2, s2 = lf_step(dfm, k, s, cc)
+        ext = ok & (s2 > 0)
+        k = jnp.where(ext, k2, k)
+        s = jnp.where(ext, s2, s)
+        b = jnp.where(ext, col, b)
+        col = jnp.where(ext, col - 1, col)
+        return ext, col, k, s, b
+
+    alive, col, k, s, b = jax.lax.fori_loop(0, n_iters, body,
+                                            (alive, col, k, s, b))
+    return b, k, s, col, alive
+
+
+@partial(jax.jit, static_argnums=())
+def round1_tail_kernel(dfm: DeviceFMIndex, enc_rows: jax.Array,
+                       col: jax.Array, k: jax.Array, s: jax.Array,
+                       b: jax.Array):
+    """Finish the surviving lanes (compacted): enc_rows int32[M, L] is each
+    lane's read, col/k/s/b the lane state from the phase kernel."""
+    alive = jnp.ones(col.shape, bool)
+
+    def cond(st):
+        return jnp.any(st[0])
+
+    def body(st):
+        alive, col, k, s, b = st
+        c = jnp.take_along_axis(enc_rows, jnp.maximum(col, 0)[:, None]
+                                .astype(jnp.int32), axis=1)[:, 0]
+        ok = alive & (col >= 0) & (c < 4)
+        cc = jnp.where(ok, c, 0).astype(jnp.int32)
+        k2, s2 = lf_step(dfm, k, s, cc)
+        ext = ok & (s2 > 0)
+        k = jnp.where(ext, k2, k)
+        s = jnp.where(ext, s2, s)
+        b = jnp.where(ext, col, b)
+        col = jnp.where(ext, col - 1, col)
+        return ext, col, k, s, b
+
+    st = jax.lax.while_loop(cond, body, (alive, col, k, s, b))
+    return st[4], st[2], st[3]
+
+
 def round1_emit(b, k, s, lens, min_seed_len):
     """Host-side emission filter for round-1 lanes (NumPy)."""
     b = np.asarray(b)

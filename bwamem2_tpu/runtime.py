@@ -14,6 +14,7 @@ import threading
 import time
 
 from .io.fastq import FastxReader, read_chunk
+from .utils.profiling import PROF
 
 
 def run_pipeline(aligner, ks1: FastxReader, ks2: FastxReader | None,
@@ -45,12 +46,15 @@ def run_pipeline(aligner, ks1: FastxReader, ks2: FastxReader | None,
         t0 = time.time()
         aligner.process(reads, n_processed, pes0=pes0)
         n_processed += len(reads)
-        for r in reads:
-            out.write(r.sam)
-            r.sam = None
+        with PROF("write_output"):
+            for r in reads:
+                out.write(r.sam)
+                r.sam = None
         if verbose >= 3:
             sys.stderr.write(
                 f"[M::pipeline] processed {len(reads)} reads in "
                 f"{time.time()-t0:.3f} sec (total {n_processed})\n")
     t.join()
+    if verbose >= 3:
+        PROF.report(total_reads=n_processed)
     return n_processed
