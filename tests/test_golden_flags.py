@@ -73,8 +73,7 @@ def run_case(fm, flags: str, paired: bool):
     return "".join(r.sam for r in reads).splitlines(keepends=True)
 
 
-@pytest.mark.parametrize("flags,golden", SE_CASES,
-                         ids=[c[0] for c in SE_CASES])
+@pytest.mark.parametrize("flags,golden", SE_CASES)
 def test_se_flag_golden(fm, flags, golden):
     ours = run_case(fm, flags, paired=False)
     with open(os.path.join(FIXTURES, golden)) as f:
