@@ -80,8 +80,11 @@ def parse_mem_args(argv: list[str]):
 
     optlist, args = getopt.gnu_getopt(
         sys.argv[2:] if argv is None else argv,
-        "51qpaMCSPVYjk:c:v:s:r:t:R:A:B:O:E:U:w:L:d:T:Q:D:m:I:N:W:x:G:h:y:K:X:H:o:f:Z:")
+        "51qpaMCSPVYjk:c:v:s:r:t:R:A:B:O:E:U:w:L:d:T:Q:D:m:I:N:W:x:G:h:y:K:X:H:o:f:Z:",
+        ["shard=", "out-dir="])
     verbose = 3
+    shard = None
+    out_dir = None
     for c, val in optlist:
         c = c[1:]
         if c == "k":
@@ -198,9 +201,14 @@ def parse_mem_args(argv: list[str]):
                 p.low = int(float(parts[3]) + 0.499)
         elif c == "Z":
             device_backend = val not in ("0", "off", "host")
+        elif c == "-shard":
+            h, n = val.split(":")
+            shard = (int(h), int(n))
+        elif c == "-out-dir":
+            out_dir = val
     return (opt, mode, fixed_chunk_size, no_mt_io, rg_line, hdr_line,
             out_path, copy_comment, ignore_alt, pes0, verbose, args,
-            device_backend)
+            device_backend, shard, out_dir)
 
 
 def main_mem(argv: list[str]) -> int:
@@ -211,8 +219,8 @@ def main_mem(argv: list[str]) -> int:
     from .runtime import run_pipeline
 
     (opt, mode, fixed_chunk_size, no_mt_io, rg_line, hdr_line, out_path,
-     copy_comment, ignore_alt, pes0, verbose, args, device_backend) = \
-        parse_mem_args(argv)
+     copy_comment, ignore_alt, pes0, verbose, args, device_backend, shard,
+     out_dir) = parse_mem_args(argv)
     if len(args) not in (2, 3):
         sys.stderr.write(usage_mem(opt))
         return 1
@@ -264,9 +272,16 @@ def main_mem(argv: list[str]) -> int:
             sys.stderr.write(f"[W] device backend unavailable ({e}); "
                              "using host path\n")
     aligner = Aligner(fm, opt, backend=backend, rg_id=rg_id, verbose=verbose)
-    run_pipeline(aligner, ks1, ks2, task_size, out, pes0=pes0,
-                 copy_comment=copy_comment, pipeline_depth=1 if no_mt_io else 2,
-                 verbose=verbose)
+    if shard is not None:
+        from .parallel.multihost import run_sharded
+        run_sharded(aligner, ks1, ks2, task_size,
+                    out_dir or (out_path or "shards") + ".d",
+                    shard[0], shard[1], pes0=pes0,
+                    copy_comment=copy_comment, verbose=verbose)
+    else:
+        run_pipeline(aligner, ks1, ks2, task_size, out, pes0=pes0,
+                     copy_comment=copy_comment,
+                     pipeline_depth=1 if no_mt_io else 2, verbose=verbose)
     if out is not sys.stdout:
         out.close()
     sys.stderr.write(f"* done in {time.time()-t0:.1f}s\n")
@@ -294,7 +309,9 @@ def main(argv: list[str] | None = None) -> int:
         sys.stderr.write(
             "Usage: bwa-mem2-tpu <command> [options]\n"
             "Commands: index    index sequences in FASTA format\n"
-            "          mem      alignment\n"
+            "          mem      alignment (--shard h:N --out-dir D for\n"
+            "                   deterministic multi-host sharding)\n"
+            "          merge    merge sharded chunk outputs in order\n"
             "          version  print version number\n")
         return 1
     cmd, rest = argv[0], argv[1:]
@@ -302,6 +319,15 @@ def main(argv: list[str] | None = None) -> int:
         return main_index(rest)
     if cmd == "mem":
         return main_mem(rest)
+    if cmd == "merge":
+        from .parallel.multihost import merge_chunks
+        if len(rest) < 2:
+            sys.stderr.write("Usage: bwa-mem2-tpu merge <out.sam> "
+                             "<part.chunk*.sam ...>\n")
+            return 1
+        with open(rest[0], "w") as f:
+            merge_chunks(f, rest[1:])
+        return 0
     if cmd == "version":
         print(__version__)
         return 0
