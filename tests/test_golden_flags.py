@@ -58,8 +58,8 @@ def fm():
 
 def run_case(fm, flags: str, paired: bool):
     argv = flags.split() + [PREFIX]
-    (opt, mode, _, _, _, _, _, _, _, pes0, _, _, _) = parse_mem_args(
-        argv[:-1] + [PREFIX, "x"])
+    parsed = parse_mem_args(argv[:-1] + [PREFIX, "x"])
+    opt, mode, pes0 = parsed[0], parsed[1], parsed[9]
     opt.finalize(mode)
     if paired:
         opt.flag |= MEM_F_PE
