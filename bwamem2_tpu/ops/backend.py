@@ -19,19 +19,23 @@ from ..utils.profiling import PROF
 from . import bucket_pow2, round_up
 from .device_index import DeviceFMIndex
 from .salookup import sa_lookup_kernel
-from .smem import (round1_emit, round1_kernel, round1_phase_kernel,
-                   round1_tail_kernel, round2_backward_kernel,
-                   round2_forward_kernel, round3_kernel)
+from .smem import (round1_compact_kernel, round2_backward_kernel,
+                   round2_forward_kernel, round3_replay_kernel)
 
 ROUND2_MAX_CAND = 64
-ROUND1_PHASE_ITERS = 24   # ~all lanes' intervals empty within this many steps
+ROUND1_CAP = 24   # compact SMEM slots per read; overflow -> host oracle
+
+
+@jax.jit
+def _gather2d_pair(a, b, i, j):
+    return a[i, j], b[i, j]
 
 
 def _pad_reads(encs: list[np.ndarray], L: int | None = None):
     # bucket both dims so the jitted kernels compile once per bucket
     N = bucket_pow2(len(encs), 64)
     L = round_up(L or max((len(e) for e in encs), default=1), 32)
-    enc = np.full((N, L), 4, dtype=np.int32)
+    enc = np.full((N, L), 4, dtype=np.int8)
     lens = np.zeros((N,), dtype=np.int32)
     for i, e in enumerate(encs):
         enc[i, : len(e)] = e
@@ -72,45 +76,33 @@ class DeviceBackend:
 
         per_read: list[list[tuple]] = [[] for _ in encs]
 
-        # ---- round 1 (K-mer LUT start + phase + compacted tail) ----
+        # ---- round 1: device walk + emit + compaction; tiny transfers ----
         t0 = __import__("time").perf_counter()
-        b, k, s, col, alive = round1_phase_kernel(self.dfm, encj, lensj,
-                                                  ROUND1_PHASE_ITERS,
-                                                  self.lut_k_bits)
-        alive_h = np.asarray(alive)
-        b_h = np.array(b)
-        k_h = np.array(k)
-        s_h = np.array(s)
-        ri, ci = np.nonzero(alive_h)
-        if len(ri):
-            M = bucket_pow2(len(ri), 64)
-            pad = M - len(ri)
-            enc_rows = enc[np.concatenate([ri, np.zeros(pad, np.int64)])]
-            colv = np.concatenate([np.asarray(col)[ri, ci],
-                                   np.full(pad, -1, np.int32)])
-            kv = np.concatenate([k_h[ri, ci], np.zeros(pad, np.int64)])
-            sv = np.concatenate([s_h[ri, ci], np.zeros(pad, np.int64)])
-            bv = np.concatenate([b_h[ri, ci], np.zeros(pad, np.int32)])
-            bt, kt, st = round1_tail_kernel(
-                self.dfm, jnp.asarray(enc_rows), jnp.asarray(colv, jnp.int32),
-                jnp.asarray(kv), jnp.asarray(sv), jnp.asarray(bv, jnp.int32))
-            bt = np.asarray(bt)[: len(ri)]
-            kt = np.asarray(kt)[: len(ri)]
-            st = np.asarray(st)[: len(ri)]
-            b_h[ri, ci] = bt
-            k_h[ri, ci] = kt
-            s_h[ri, ci] = st
-        emit = round1_emit(b_h, k_h, s_h, lens, opt.min_seed_len)
+        cnt, n1, b1, s1, k1 = round1_compact_kernel(
+            self.dfm, encj, lensj, self.lut_k_bits,
+            jnp.int32(opt.min_seed_len), ROUND1_CAP)
+        cnt = np.asarray(cnt)[:NR]
+        n1 = np.asarray(n1)[:NR]
+        b1 = np.asarray(b1)[:NR]
+        s1 = np.asarray(s1)[:NR]
+        k1 = np.asarray(k1)[:NR]
+        overflow_reads = np.nonzero(cnt > ROUND1_CAP)[0]
+        oflow = set(overflow_reads.tolist())
+        for rid in range(NR):
+            if rid in oflow:
+                continue
+            c = int(cnt[rid])
+            nr, br, kr, sr = n1[rid], b1[rid], k1[rid], s1[rid]
+            per_read[rid] = [(rid, int(br[j]), int(nr[j]), int(kr[j]), 0,
+                              int(sr[j])) for j in range(c)]
         PROF.add("seeding.round1", __import__("time").perf_counter() - t0)
-        rids, cols = np.nonzero(emit)
-        for rid, n in zip(rids.tolist(), cols.tolist()):
-            per_read[rid].append((rid, int(b_h[rid, n]), n,
-                                  int(k_h[rid, n]), 0, int(s_h[rid, n])))
 
         # ---- round 2: re-seed long low-occurrence SMEMs ----
         split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
         pivots = []  # (rid, x, min_intv)
         for rid in range(NR):
+            if rid in oflow:
+                continue
             for (_, m, n, kk, _, ss) in per_read[rid]:
                 if (n + 1 - m) >= split_len and ss <= opt.split_width:
                     pivots.append((rid, (n + 1 + m) >> 1, ss + 1))
@@ -118,36 +110,46 @@ class DeviceBackend:
             with PROF("seeding.round2"):
                 self._round2(enc, lens, pivots, opt, per_read)
 
-        # ---- round 3 ----
+        # ---- round 3: per-read pivot-chain replay on device ----
         if opt.max_mem_intv > 0:
             t0 = __import__("time").perf_counter()
-            stop, emit3, n3, k3, s3 = round3_kernel(
+            msl_p1 = max(opt.min_seed_len + 1, 2)
+            cap3 = L // (msl_p1 + 1) + 1
+            n3out, x3, n3, s3, k3 = round3_replay_kernel(
                 self.dfm, encj, lensj, jnp.int64(opt.max_mem_intv),
-                jnp.int32(opt.min_seed_len + 1))
-            stop = np.asarray(stop)
-            emit3 = np.asarray(emit3)
-            n3 = np.asarray(n3)
-            k3 = np.asarray(k3)
-            s3 = np.asarray(s3)
+                jnp.int32(msl_p1), cap3)
+            n3out = np.asarray(n3out)[:NR]
+            x3 = np.asarray(x3)[:NR]
+            n3 = np.asarray(n3)[:NR]
+            s3 = np.asarray(s3)[:NR]
+            k3 = np.asarray(k3)[:NR]
             for rid in range(NR):
-                x = 0
-                ln = lens[rid]
-                while x < ln:
-                    if emit3[rid, x]:
-                        per_read[rid].append((rid, x, int(n3[rid, x]),
-                                              int(k3[rid, x]), 0,
-                                              int(s3[rid, x])))
-                    x = int(stop[rid, x]) + 1
+                if rid in oflow:
+                    continue
+                for j in range(int(n3out[rid])):
+                    per_read[rid].append((rid, int(x3[rid, j]),
+                                          int(n3[rid, j]), int(k3[rid, j]),
+                                          0, int(s3[rid, j])))
             PROF.add("seeding.round3", __import__("time").perf_counter() - t0)
 
+        # ---- overflowed reads: exact host-oracle fallback (rare) ----
+        if len(overflow_reads):
+            from ..align.seeding import collect_smems as host_collect
+            sub = host_collect(self.fm, [encs[r] for r in overflow_reads],
+                               opt)
+            for r, out in zip(overflow_reads.tolist(), sub):
+                per_read[r] = [(r,) + t[1:] for t in out]
+            # already sorted by host_collect; skip the re-sort below
         for rid in range(NR):
+            if rid in oflow:
+                continue
             per_read[rid].sort(key=lambda t: (t[1] << 32) | t[2])
         return per_read
 
     def _round2(self, enc, lens, pivots, opt, per_read):
         P = bucket_pow2(len(pivots), 64)
         L = enc.shape[1]
-        enc_p = np.full((P, L), 4, np.int32)
+        enc_p = np.full((P, L), 4, np.int8)
         plen = np.zeros((P,), np.int32)
         min_intv = np.ones((P,), np.int64)
         for i, (rid, x, mi) in enumerate(pivots):
@@ -155,12 +157,12 @@ class DeviceBackend:
             enc_p[i, : ln - x] = enc[rid, x:ln]
             plen[i] = ln - x
             min_intv[i] = mi
-        cn, ck, cl, cs, ncand = round2_forward_kernel(
+        cn, ck_dev, cl, cs_dev, ncand = round2_forward_kernel(
             self.dfm, jnp.asarray(enc_p), jnp.asarray(plen),
             jnp.asarray(min_intv), ROUND2_MAX_CAND)
+        # ck/cs stay device-resident (int64 grids): the backward pass
+        # gathers its lane inputs from them on device
         cn = np.asarray(cn)
-        ck = np.asarray(ck)
-        cs = np.asarray(cs)
         ncand = np.asarray(ncand)
 
         # overflowed pivots fall back to the host oracle
@@ -185,21 +187,25 @@ class DeviceBackend:
         if not lane_piv:
             return
         M = bucket_pow2(len(lane_piv), 64)
-        enc_rev = np.full((M, L), 4, np.int32)
+        pad = M - len(lane_piv)
+        enc_rev = np.full((M, L), 4, np.int8)
         rlen = np.zeros((M,), np.int32)
-        bk = np.zeros((M,), np.int64)
-        bs = np.zeros((M,), np.int64)
         bmi = np.ones((M,), np.int64)
         for j, (i, t) in enumerate(zip(lane_piv, lane_slot)):
             rid, x, mi = pivots[i]
             enc_rev[j, :x] = enc[rid, :x][::-1]
             rlen[j] = x
-            bk[j] = ck[i, t]
-            bs[j] = cs[i, t]
             bmi[j] = mi
+        piv_idx = np.concatenate([np.asarray(lane_piv, np.int32),
+                                  np.zeros(pad, np.int32)])
+        slot_idx = np.concatenate([np.asarray(lane_slot, np.int32),
+                                   np.zeros(pad, np.int32)])
+        bk, bs = _gather2d_pair(ck_dev, cs_dev, jnp.asarray(piv_idx),
+                                jnp.asarray(slot_idx))
+        bs = jnp.where(jnp.arange(M) < len(lane_piv), bs, 0)
         steps, fk, fs, died = round2_backward_kernel(
             self.dfm, jnp.asarray(enc_rev), jnp.asarray(rlen),
-            jnp.asarray(bk), jnp.asarray(bs), jnp.asarray(bmi))
+            bk, bs, jnp.asarray(bmi))
         steps = np.asarray(steps)
         fk = np.asarray(fk)
         fs = np.asarray(fs)

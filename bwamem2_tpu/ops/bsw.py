@@ -13,6 +13,14 @@ All the scalar kernel's control flow is reproduced with masks: adaptive band
 the rightmost-tie rule, z-drop and row-max==0 termination, end-bonus gscore
 tracking.  Outputs are bit-identical to the host kernel (tested).
 
+Each DP row is computed as pure VECTOR ops over the whole query dimension
+(no sequential column loop): the only intra-row dependency — the F (gap in
+query) running max — unrolls to a prefix-max scan with linear decay,
+  f[j] = max_{j'<j} (relu(M[j'] - oe_ins) + j'*e_ins) - (j-1)*e_ins,
+computed with lax.cummax.  H's column-shifted storage (eh[j].h = H[i][j-1],
+the rotation that feeds the next row's diagonal) and the stale out-of-band
+cells are preserved exactly, so results stay bit-identical.
+
 DNA scoring is computed arithmetically (match/mismatch/ambig) instead of a
 5x5 gather — bwa_fill_scmat matrices always have that structure.
 """
@@ -40,10 +48,13 @@ def bsw_kernel(q, t, qlen, tlen, h0, w_in, mat_a, mat_b,
     (positive).  Returns int32[P, 6]: score qle tle gtle gscore max_off."""
     P, Qmax = q.shape
     Tmax = t.shape[1]
+    q = q.astype(I32)
+    t = t.astype(I32)
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
 
     cols = jnp.arange(Qmax + 1, dtype=I32)[None, :]          # (1, Qmax+1)
+    qcols = jnp.concatenate([q, jnp.full((P, 1), 4, I32)], axis=1)
 
     # first row: H[j] = max(h0 - oe_ins - (j-1)*e_ins, 0), H[0] = h0
     tj = h0[:, None] - oe_ins - (cols - 1) * e_ins
@@ -75,48 +86,58 @@ def bsw_kernel(q, t, qlen, tlen, h0, w_in, mat_a, mat_b,
         act_row = ~done & (i < tlen)
         beg_r = jnp.maximum(beg, i - w)
         end_r = jnp.minimum(jnp.minimum(end, i + w + 1), qlen)
-        ti = jnp.take_along_axis(
-            t, jnp.minimum(jnp.full((P, 1), i, I32), Tmax - 1), axis=1)[:, 0]
+        ti = jax.lax.dynamic_slice_in_dim(
+            t, jnp.minimum(i, Tmax - 1), 1, axis=1)[:, 0]
         h1_0 = jnp.where(beg_r == 0,
                          jnp.maximum(h0 - (o_del + e_del * (i + 1)), 0),
                          0).astype(I32)
 
-        def col_body(j, cst):
-            H, E, f, h1, m, mj = cst
-            act = act_row & (j >= beg_r) & (j < end_r)
-            M = H[:, j]
-            e = E[:, j]
-            H = H.at[:, j].set(jnp.where(act, h1, H[:, j]))
-            qj = q[:, j]
-            s_ij = jnp.where((ti >= 4) | (qj >= 4), -1,
-                             jnp.where(ti == qj, mat_a, -mat_b)).astype(I32)
-            M = jnp.where(M != 0, M + s_ij, 0)
-            h = jnp.maximum(jnp.maximum(M, e), f)
-            mj = jnp.where(act & (m <= h), j, mj)
-            m = jnp.where(act, jnp.maximum(m, h), m)
-            h1 = jnp.where(act, h, h1)
-            tt = jnp.maximum(M - oe_del, 0)
-            e = jnp.maximum(e - e_del, tt)
-            E = E.at[:, j].set(jnp.where(act, e, E[:, j]))
-            tt = jnp.maximum(M - oe_ins, 0)
-            f = jnp.where(act, jnp.maximum(f - e_ins, tt), f)
-            return H, E, f, h1, m, mj
-
-        f0 = jnp.zeros((P,), I32)
-        m0 = jnp.zeros((P,), I32)
-        mj0 = jnp.full((P,), -1, I32)
-        H, E, f, h1, m, mj = jax.lax.fori_loop(
-            0, Qmax, col_body, (H, E, f0, h1_0, m0, mj0))
+        band = (cols >= beg_r[:, None]) & (cols < end_r[:, None])  # (P,Q+1)
+        # M[j] = diagonal input: the column-shifted H slot (+ score), exactly
+        # the scalar's "M = eh[j].h" read-before-write
+        s_ij = jnp.where((ti[:, None] >= 4) | (qcols >= 4), -1,
+                         jnp.where(ti[:, None] == qcols, mat_a,
+                                   -mat_b)).astype(I32)
+        Mv = jnp.where(H != 0, H + s_ij, 0)
+        # f via prefix-max scan with linear decay (see module docstring)
+        u = jnp.where(band, jnp.maximum(Mv - oe_ins, 0) + cols * e_ins,
+                      NEG_BIG)
+        upre = jnp.concatenate([jnp.full((P, 1), NEG_BIG, I32),
+                                jax.lax.cummax(u, axis=1)[:, :-1]], axis=1)
+        fv = upre - jnp.maximum(cols - 1, 0) * e_ins
+        hv = jnp.maximum(jnp.maximum(Mv, E), fv)
+        hv = jnp.where(band, hv, 0)
+        # row max with rightmost-tie rule
+        m = jnp.max(hv, axis=1)
+        is_max = band & (hv == m[:, None])
+        mj = jnp.max(jnp.where(is_max, cols, -1), axis=1)
+        mj = jnp.where(act_row & (m > 0), mj, -1)
+        # h1 carry entering column j is hv[j-1] (h1_0 at the band start)
+        carry = jnp.concatenate([h1_0[:, None],
+                                 jnp.where(band, hv, 0)[:, :-1]], axis=1)
+        carry = jnp.where(cols == beg_r[:, None], h1_0[:, None], carry)
+        h1_end = jnp.where(end_r > beg_r,
+                           jnp.take_along_axis(
+                               hv, jnp.maximum(end_r - 1, 0)[:, None],
+                               axis=1)[:, 0],
+                           h1_0)
+        wr = act_row[:, None] & band
+        H = jnp.where(wr, carry, H)
+        E = jnp.where(wr, jnp.maximum(E - e_del,
+                                      jnp.maximum(Mv - oe_del, 0)), E)
 
         # eh[end].h = h1; eh[end].e = 0
         endcol = end_r[:, None]
-        H = jnp.where(act_row[:, None] & (cols == endcol), h1[:, None], H)
-        E = jnp.where(act_row[:, None] & (cols == endcol), 0, E)
+        at_end = act_row[:, None] & (cols == endcol)
+        H = jnp.where(at_end, h1_end[:, None], H)
+        E = jnp.where(at_end, 0, E)
 
         # gscore bookkeeping when the row spans the full query
         full = act_row & (end_r == qlen)
-        max_ie = jnp.where(full & (gscore <= h1), i, max_ie)
-        gscore = jnp.where(full, jnp.maximum(gscore, h1), gscore)
+        max_ie = jnp.where(full & (gscore <= h1_end), i, max_ie)
+        gscore = jnp.where(full, jnp.maximum(gscore, h1_end), gscore)
+        m = jnp.where(act_row, m, 0)
+        mj = jnp.where(act_row, mj, -1)
 
         # termination + max update + zdrop
         newly_done = act_row & (m == 0)
@@ -188,8 +209,8 @@ class DeviceBSW:
                 continue
             from . import bucket_pow2
             P = bucket_pow2(len(idxs), 128)
-            q = np.full((P, Q), 4, np.int32)
-            t = np.full((P, T), 4, np.int32)
+            q = np.full((P, Q), 4, np.int8)
+            t = np.full((P, T), 4, np.int8)
             qlen = np.zeros((P,), np.int32)
             tlen = np.zeros((P,), np.int32)
             h0 = np.zeros((P,), np.int32)

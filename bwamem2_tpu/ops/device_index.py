@@ -1,18 +1,23 @@
 """Device-resident FM-index and the batched LF-mapping primitives.
 
 Layout (HBM):
-  cp_count  int64[nblocks, 4]   checkpoint counts per 64-char BWT block
-  oh_hi/lo  uint32[nblocks, 4]  one-hot BWT bitmasks split into two 32-bit
-                                halves (bit 31 of `hi` = first char of block)
+  occ4      int32[nblocks, 16]  one 64-byte row per 64-char BWT block:
+                                [cp_lo[4] | cp_hi[4] | oh_hi[4] | oh_lo[4]]
+                                (checkpoint counts split into 32-bit halves,
+                                one-hot BWT bitmask halves, per base)
   counts    int64[5]            cumulative char counts (+1 sentinel shift)
-  sa_ms/ls  int8/uint32         8x-compressed suffix array
+  sa_ms/ls  int32/uint32        8x-compressed suffix array
   ref       uint8[2*l_pac]      doubled genome (the .0123 buffer)
 
 The reference keeps CP_OCC as an array-of-structs of 64-byte blocks sized for
-x86 cache lines (FMI_search.h:54-58); on TPU we split the struct into parallel
-arrays so each occ() is two int32-indexed gathers + a popcount — the layout
-XLA gathers handle best.  occ/backward-ext semantics mirror GET_OCC
-(FMI_search.h:66-73) and backwardExt (FMI_search.cpp:1025-1052) exactly.
+x86 cache lines (FMI_search.h:54-58).  The TPU twist: XLA lowers a gather to
+~the same cost per ROW whether the row is 1 or 16 int32s (measured ~330M
+rows/s at width 4-16 vs ~130M at width 1 on v5e), so the entire block —
+counts and bitmasks for all 4 bases — is packed into ONE 16-lane int32 row
+and each occ() query is a single gather + vector popcounts.  occ/backward-ext
+semantics mirror GET_OCC (FMI_search.h:66-73) and backwardExt
+(FMI_search.cpp:1025-1052) exactly, including 64-bit counts (carried as two
+int32 halves so the layout also serves >2^31-bp genomes).
 """
 
 from __future__ import annotations
@@ -30,9 +35,7 @@ from ..index.fmindex import FMIndex
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class DeviceFMIndex:
-    cp_count: jax.Array   # int64[nblocks, 4]
-    oh_hi: jax.Array      # uint32[nblocks, 4]
-    oh_lo: jax.Array      # uint32[nblocks, 4]
+    occ4: jax.Array       # int32[nblocks, 16]
     counts: jax.Array     # int64[5]
     sa_ms: jax.Array      # int32[(n>>3)+1] (sign-extended from int8)
     sa_ls: jax.Array      # uint32[(n>>3)+1]
@@ -42,9 +45,8 @@ class DeviceFMIndex:
     lut_s: jax.Array      # int64[4^K] K-mer interval sizes
 
     def tree_flatten(self):
-        return ((self.cp_count, self.oh_hi, self.oh_lo, self.counts,
-                 self.sa_ms, self.sa_ls, self.sentinel, self.ref,
-                 self.lut_k, self.lut_s), None)
+        return ((self.occ4, self.counts, self.sa_ms, self.sa_ls,
+                 self.sentinel, self.ref, self.lut_k, self.lut_s), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -53,16 +55,19 @@ class DeviceFMIndex:
     @classmethod
     def from_host(cls, fm: FMIndex, device=None,
                   lut: tuple | None = None) -> "DeviceFMIndex":
+        cp = fm.cp_count.astype(np.int64)
         oh = fm.one_hot
-        oh_hi = (oh >> np.uint64(32)).astype(np.uint32)
-        oh_lo = (oh & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        occ4 = np.concatenate([
+            (cp & 0xFFFFFFFF).astype(np.uint32).view(np.int32),
+            (cp >> 32).astype(np.int32),
+            (oh >> np.uint64(32)).astype(np.uint32).view(np.int32),
+            (oh & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32),
+        ], axis=1)
         put = partial(jax.device_put, device=device)
         lut_k = lut[0] if lut else np.zeros(1, np.int64)
         lut_s = lut[1] if lut else np.zeros(1, np.int64)
         return cls(
-            cp_count=put(fm.cp_count.astype(np.int64)),
-            oh_hi=put(oh_hi),
-            oh_lo=put(oh_lo),
+            occ4=put(occ4),
             counts=put(fm.counts.astype(np.int64)),
             sa_ms=put(fm.sa_ms_byte.astype(np.int32)),
             sa_ls=put(fm.sa_ls_word.astype(np.uint32)),
@@ -71,6 +76,15 @@ class DeviceFMIndex:
             lut_k=put(lut_k.astype(np.int64)),
             lut_s=put(lut_s.astype(np.int64)),
         )
+
+
+def take_counts(counts, a, base: int = 0):
+    """counts[a + base] for per-lane a in [0, 4) without a gather (4-way
+    select on the scalar entries — XLA gathers cost ~100x a select)."""
+    return jnp.where(a == 0, counts[base],
+                     jnp.where(a == 1, counts[base + 1],
+                               jnp.where(a == 2, counts[base + 2],
+                                         counts[base + 3])))
 
 
 def _top_masks(y):
@@ -90,37 +104,55 @@ def _top_masks(y):
     return hi, lo
 
 
-def occ_one(dfm: DeviceFMIndex, pos, c):
-    """occ(pos, c) for one char per lane: # of c in BWT[0:pos)."""
+def _u32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+
+def _row(dfm: DeviceFMIndex, pos):
+    """Fetch the packed 16-lane block row for each position: ONE gather.
+    Returns (cp int64[...,4], hi uint32[...,4], lo uint32[...,4], y)."""
     blk = (pos >> 6).astype(jnp.int32)
     y = (pos & 63).astype(jnp.int32)
+    row = dfm.occ4[blk]                          # (..., 16)
+    cp = (_u32(row[..., 0:4]).astype(jnp.int64)
+          + (row[..., 4:8].astype(jnp.int64) << 32))
+    return cp, _u32(row[..., 8:12]), _u32(row[..., 12:16]), y
+
+
+def _sel4(v, c):
+    """v[..., c] for per-lane c in [0, 4) without a gather."""
+    return jnp.where(c == 0, v[..., 0],
+                     jnp.where(c == 1, v[..., 1],
+                               jnp.where(c == 2, v[..., 2], v[..., 3])))
+
+
+def occ_one(dfm: DeviceFMIndex, pos, c):
+    """occ(pos, c) for one char per lane: # of c in BWT[0:pos).
+    One 64-byte row gather + select + two popcounts."""
+    cp, hi, lo, y = _row(dfm, pos)
     mh, ml = _top_masks(y)
-    base = dfm.cp_count[blk, c]
-    h = jax.lax.population_count(dfm.oh_hi[blk, c] & mh).astype(jnp.int64)
-    l = jax.lax.population_count(dfm.oh_lo[blk, c] & ml).astype(jnp.int64)
+    base = _sel4(cp, c)
+    h = jax.lax.population_count(_sel4(hi, c) & mh).astype(jnp.int64)
+    l = jax.lax.population_count(_sel4(lo, c) & ml).astype(jnp.int64)
     return base + h + l
 
 
 def occ_all4(dfm: DeviceFMIndex, pos):
-    """occ(pos, c) for all 4 chars per lane -> (..., 4) int64."""
-    blk = (pos >> 6).astype(jnp.int32)
-    y = (pos & 63).astype(jnp.int32)
+    """occ(pos, c) for all 4 chars per lane -> (..., 4) int64.  One gather."""
+    cp, hi, lo, y = _row(dfm, pos)
     mh, ml = _top_masks(y)
-    base = dfm.cp_count[blk]                    # (..., 4)
-    h = jax.lax.population_count(
-        dfm.oh_hi[blk] & mh[..., None]).astype(jnp.int64)
-    l = jax.lax.population_count(
-        dfm.oh_lo[blk] & ml[..., None]).astype(jnp.int64)
-    return base + h + l
+    h = jax.lax.population_count(hi & mh[..., None]).astype(jnp.int64)
+    l = jax.lax.population_count(lo & ml[..., None]).astype(jnp.int64)
+    return cp + h + l
 
 
 def lf_step(dfm: DeviceFMIndex, k, s, a):
     """Backward extension by char a tracking only (k, s) — enough for
     SMEM enumeration and SA resolution (the RC-twin l is never consumed
-    downstream of seeding)."""
+    downstream of seeding).  Two row gathers."""
     occ_sp = occ_one(dfm, k, a)
     occ_ep = occ_one(dfm, k + s, a)
-    return dfm.counts[a] + occ_sp, occ_ep - occ_sp
+    return take_counts(dfm.counts, a) + occ_sp, occ_ep - occ_sp
 
 
 def backward_ext_full(dfm: DeviceFMIndex, k, l, s, a):
@@ -136,24 +168,32 @@ def backward_ext_full(dfm: DeviceFMIndex, k, l, s, a):
     l2 = l3 + ss[..., 3]
     l1 = l2 + ss[..., 2]
     l0 = l1 + ss[..., 1]
-    ll = jnp.stack([l0, l1, l2, l3], axis=-1)
-    a_idx = a[..., None].astype(jnp.int32)
-    take = lambda arr: jnp.take_along_axis(arr, a_idx, axis=-1)[..., 0]
-    return take(kk), take(ll), take(ss)
+    a32 = a.astype(jnp.int32)
+    take_l = jnp.where(a32 == 0, l0,
+                       jnp.where(a32 == 1, l1,
+                                 jnp.where(a32 == 2, l2, l3)))
+    return _sel4(kk, a32), take_l, _sel4(ss, a32)
+
+
+def bwt_char_occ(dfm: DeviceFMIndex, pos):
+    """(BWT char at pos (4 = sentinel), occ(pos, that char)) in ONE gather —
+    the fused LF-walk step of SA resolution."""
+    cp, hi, lo, y = _row(dfm, pos)
+    in_hi = y < 32
+    sh = jnp.where(in_hi, 31 - y, 63 - y).astype(jnp.uint32)
+    word = jnp.where(in_hi[..., None], hi, lo)
+    bits = (word >> sh[..., None]) & jnp.uint32(1)
+    c = jnp.argmax(bits, axis=-1).astype(jnp.int32)
+    is_set = jnp.max(bits, axis=-1) > 0
+    c = jnp.where(is_set, c, jnp.int32(4))
+    cc = jnp.where(is_set, c, 0)
+    mh, ml = _top_masks(y)
+    occ = (_sel4(cp, cc)
+           + jax.lax.population_count(_sel4(hi, cc) & mh).astype(jnp.int64)
+           + jax.lax.population_count(_sel4(lo, cc) & ml).astype(jnp.int64))
+    return c, occ
 
 
 def bwt_char(dfm: DeviceFMIndex, pos):
     """BWT char at pos from the one-hot halves (4 = sentinel)."""
-    blk = (pos >> 6).astype(jnp.int32)
-    y = (pos & 63).astype(jnp.int32)          # 0 = first char of block
-    bit = (63 - y).astype(jnp.uint32)          # bit index within uint64
-    in_hi = bit >= 32
-    sh = jnp.where(in_hi, bit - 32, bit).astype(jnp.uint32)
-    hi = dfm.oh_hi[blk]                        # (..., 4)
-    lo = dfm.oh_lo[blk]
-    word = jnp.where(in_hi[..., None], hi, lo)
-    bits = (word >> sh[..., None].astype(jnp.uint32)) & jnp.uint32(1)
-    # first set bit wins; none set -> 4 (sentinel)
-    c = jnp.argmax(bits, axis=-1).astype(jnp.int32)
-    is_set = jnp.max(bits, axis=-1) > 0
-    return jnp.where(is_set, c, jnp.int32(4))
+    return bwt_char_occ(dfm, pos)[0]

@@ -26,10 +26,7 @@ def sa_lookup_kernel(dfm: DeviceFMIndex, pos: jax.Array) -> jax.Array:
     sp = pos
     hit_sentinel = jnp.zeros(pos.shape, bool)
 
-    def cond(st):
-        return jnp.any(~st[0])
-
-    def body(st):
+    def step_fn(st):
         done, sp, offset, hit_sentinel = st
         b = bwt_char(dfm, sp)
         sent = ~done & (b == 4)
@@ -42,8 +39,17 @@ def sa_lookup_kernel(dfm: DeviceFMIndex, pos: jax.Array) -> jax.Array:
         done = done | sent | (step & ((sp & 7) == 0))
         return done, sp, offset, hit_sentinel
 
+    # Walk length is ~Geometric(1/8) (unbounded worst case), so a plain
+    # while_loop would sync device->host every step; instead take 16 masked
+    # steps per convergence check — one check usually suffices.
+    def body16(st):
+        for _ in range(16):
+            st = step_fn(st)
+        return st
+
     done, sp, offset, hit_sentinel = jax.lax.while_loop(
-        cond, body, (done, sp, offset, hit_sentinel))
+        lambda st: jnp.any(~st[0]), body16,
+        (done, sp, offset, hit_sentinel))
     idx = (sp >> 3).astype(jnp.int32)
     sa = (dfm.sa_ms[idx].astype(jnp.int64) << 32) \
         + dfm.sa_ls[idx].astype(jnp.int64)

@@ -9,8 +9,13 @@ position n, one lane walks the FM index backward from n until the interval
 empties, yielding the leftmost start b(n); the SMEM set is exactly
 { [b(n), n] : b(n) < b(n+1), length >= min_seed_len }.  This turns the
 reference's irregular per-pivot enumeration with head/tail compaction into
-(reads x positions) independent lanes — a `lax.while_loop` over int64
-vectors of gathers, ideal for HBM gather throughput.
+(reads x positions) independent lanes of gathers, ideal for HBM gather
+throughput.
+
+All loops are `lax.fori_loop` with static trip counts (bounded by the padded
+read length): a `lax.while_loop` whose cond reduces over the lanes costs a
+device->host sync per iteration, which dwarfs the masked gather work of a
+dead lane by orders of magnitude.  Finished lanes just ride along masked.
 
 round 2 (re-seeding, min_intv=s+1): per selected pivot, a forward pass
 collects the distinct-interval prefixes [x..n_t] (candidate lanes), then each
@@ -34,72 +39,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .device_index import DeviceFMIndex, backward_ext_full, lf_step
+from .device_index import (DeviceFMIndex, backward_ext_full, lf_step,
+                           take_counts)
 
 I64 = jnp.int64
 
 
-@partial(jax.jit, static_argnums=())
-def round1_kernel(dfm: DeviceFMIndex, enc: jax.Array, lens: jax.Array):
+def _round1_walk(dfm: DeviceFMIndex, enc: jax.Array, lens: jax.Array,
+                 lut_k: int):
     """Backward walk from every (read, end) lane until the interval empties.
 
-    enc: int32[N, L] (4 = N/pad), lens: int32[N].
-    Returns b (leftmost start, int32[N, L]), k, s (int64[N, L]) of [b, n]."""
+    enc: int{8,32}[N, L] (4 = N/pad), lens: int32[N].
+    Returns b (leftmost start, int32[N, L]), k, s (int64[N, L]) of [b, n].
+
+    One fori_loop of L masked steps; a lane's walk is at most its end
+    position, so every lane finishes.  With lut_k > 0, lanes whose
+    last-lut_k-char window is clean (no N, fully inside the read) start from
+    the precomputed K-mer interval, skipping lut_k LF steps (index/klut.py)."""
     N, L = enc.shape
+    enc = enc.astype(jnp.int32)
     pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), (N, L))
     a0 = enc
     valid = (a0 < 4) & (pos < lens[:, None])
     a0c = jnp.where(valid, a0, 0).astype(jnp.int32)
-    k = dfm.counts[a0c]
-    s = dfm.counts[a0c + 1] - dfm.counts[a0c]
-    b = jnp.where(valid, pos, pos + 1)  # empty-match start for invalid lanes
-    col = pos - 1
-    alive = valid
-
-    def cond(st):
-        return jnp.any(st[0])
-
-    def body(st):
-        alive, col, k, s, b = st
-        c = jnp.take_along_axis(enc, jnp.maximum(col, 0).astype(jnp.int32),
-                                axis=1)
-        ok = alive & (col >= 0) & (c < 4)
-        cc = jnp.where(ok, c, 0).astype(jnp.int32)
-        k2, s2 = lf_step(dfm, k, s, cc)
-        ext = ok & (s2 > 0)
-        k = jnp.where(ext, k2, k)
-        s = jnp.where(ext, s2, s)
-        b = jnp.where(ext, col, b)
-        col = jnp.where(ext, col - 1, col)
-        return ext, col, k, s, b
-
-    alive, col, k, s, b = jax.lax.while_loop(cond, body,
-                                             (alive, col, k, s, b))
-    return b, k, s
-
-
-@partial(jax.jit, static_argnums=(3, 4))
-def round1_phase_kernel(dfm: DeviceFMIndex, enc: jax.Array, lens: jax.Array,
-                        n_iters: int, lut_k: int = 0):
-    """First n_iters backward steps for every (read, end) lane (fori, no
-    convergence test).  Most lanes' intervals empty within ~20 steps on a
-    mammalian genome; survivors continue in round1_tail_kernel over a
-    compacted lane set — the TPU equivalent of the reference's head/tail
-    compaction (getSMEMsAllPosOneThread, FMI_search.cpp:693-721).
-
-    With lut_k > 0, lanes whose last-lut_k-char window is clean (no N, fully
-    inside the read) start from the precomputed K-mer interval, skipping
-    lut_k LF steps (index/klut.py)."""
-    N, L = enc.shape
-    pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), (N, L))
-    a0 = enc
-    valid = (a0 < 4) & (pos < lens[:, None])
-    a0c = jnp.where(valid, a0, 0).astype(jnp.int32)
-    k = dfm.counts[a0c]
-    s = dfm.counts[a0c + 1] - dfm.counts[a0c]
+    k = take_counts(dfm.counts, a0c)
+    s = take_counts(dfm.counts, a0c, 1) - k
     b = jnp.where(valid, pos, pos + 1)
-    col = pos - 1
     alive = valid
+    use_lut = jnp.zeros((N, L), bool)
 
     if lut_k:
         # rolling K-mer codes + N detection over the window ending at pos
@@ -119,12 +86,21 @@ def round1_phase_kernel(dfm: DeviceFMIndex, enc: jax.Array, lens: jax.Array,
         k = jnp.where(use_lut, lk, k)
         s = jnp.where(use_lut, ls, s)
         b = jnp.where(use_lut, pos - lut_k + 1, b)
-        col = jnp.where(use_lut, pos - lut_k, col)
 
-    def body(_, st):
-        alive, col, k, s, b = st
-        c = jnp.take_along_axis(enc, jnp.maximum(col, 0).astype(jnp.int32),
-                                axis=1)
+    # Alive lanes consume exactly one column per step, in lockstep: at step
+    # t, a (still-alive) lane at end position n reads enc[n - start_off - t]
+    # where start_off is 1 (walk from scratch) or lut_k (LUT jump-start).
+    # So the per-step "char at col" is a static roll-by-1 of a carried
+    # shifted copy of the read — NO gather (take_along_axis is a gather,
+    # and gathers are ~100x a roll on TPU).
+    start_off = jnp.where(use_lut, jnp.int32(lut_k), jnp.int32(1))
+    c_nl = jnp.roll(enc, 1, axis=1)
+    c_lut = jnp.roll(enc, lut_k, axis=1) if lut_k else c_nl
+
+    def body(t, st):
+        alive, k, s, b, c_nl, c_lut = st
+        col = pos - start_off - t
+        c = jnp.where(use_lut, c_lut, c_nl)
         ok = alive & (col >= 0) & (c < 4)
         cc = jnp.where(ok, c, 0).astype(jnp.int32)
         k2, s2 = lf_step(dfm, k, s, cc)
@@ -132,41 +108,57 @@ def round1_phase_kernel(dfm: DeviceFMIndex, enc: jax.Array, lens: jax.Array,
         k = jnp.where(ext, k2, k)
         s = jnp.where(ext, s2, s)
         b = jnp.where(ext, col, b)
-        col = jnp.where(ext, col - 1, col)
-        return ext, col, k, s, b
+        c_nl = jnp.roll(c_nl, 1, axis=1)
+        c_lut = jnp.roll(c_lut, 1, axis=1) if lut_k else c_nl
+        return ext, k, s, b, c_nl, c_lut
 
-    alive, col, k, s, b = jax.lax.fori_loop(0, n_iters, body,
-                                            (alive, col, k, s, b))
-    return b, k, s, col, alive
+    alive, k, s, b, _, _ = jax.lax.fori_loop(
+        0, L, body, (alive, k, s, b, c_nl, c_lut))
+    return b, k, s
 
 
-@partial(jax.jit, static_argnums=())
-def round1_tail_kernel(dfm: DeviceFMIndex, enc_rows: jax.Array,
-                       col: jax.Array, k: jax.Array, s: jax.Array,
-                       b: jax.Array):
-    """Finish the surviving lanes (compacted): enc_rows int32[M, L] is each
-    lane's read, col/k/s/b the lane state from the phase kernel."""
-    alive = jnp.ones(col.shape, bool)
+@partial(jax.jit, static_argnums=(3,))
+def round1_kernel(dfm: DeviceFMIndex, enc: jax.Array, lens: jax.Array,
+                  lut_k: int = 0):
+    """Full-grid round-1 walk (see _round1_walk)."""
+    return _round1_walk(dfm, enc, lens, lut_k)
 
-    def cond(st):
-        return jnp.any(st[0])
 
-    def body(st):
-        alive, col, k, s, b = st
-        c = jnp.take_along_axis(enc_rows, jnp.maximum(col, 0)[:, None]
-                                .astype(jnp.int32), axis=1)[:, 0]
-        ok = alive & (col >= 0) & (c < 4)
-        cc = jnp.where(ok, c, 0).astype(jnp.int32)
-        k2, s2 = lf_step(dfm, k, s, cc)
-        ext = ok & (s2 > 0)
-        k = jnp.where(ext, k2, k)
-        s = jnp.where(ext, s2, s)
-        b = jnp.where(ext, col, b)
-        col = jnp.where(ext, col - 1, col)
-        return ext, col, k, s, b
+@partial(jax.jit, static_argnums=(3, 5))
+def round1_compact_kernel(dfm: DeviceFMIndex, enc: jax.Array,
+                          lens: jax.Array, lut_k: int,
+                          min_seed_len: jax.Array, cap: int):
+    """Round-1 walk + on-device emission + per-read compaction.
 
-    st = jax.lax.while_loop(cond, body, (alive, col, k, s, b))
-    return st[4], st[2], st[3]
+    The (N, L) result grids never leave HBM: the SMEM emission rule
+    (b[n] < b[n+1], length >= min_seed_len) is applied on device and the
+    emitted columns are compacted into `cap` slots per read, so the host
+    transfer is O(emitted SMEMs), not O(N*L) int64 grids — which matters
+    both over PCIe and enormously over a tunneled device.
+
+    Returns cnt int32[N] (TRUE emit count, may exceed cap — caller falls
+    back for such reads), n int16[N,cap], b int16[N,cap], s int32[N,cap]
+    (clamped), k int64[N,cap]."""
+    N, L = enc.shape
+    b, k, s = _round1_walk(dfm, enc, lens, lut_k)
+    pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), (N, L))
+    bnext = jnp.concatenate(
+        [b[:, 1:], jnp.full((N, 1), L + 1, b.dtype)], axis=1)
+    bnext = jnp.where(pos + 1 >= lens[:, None], L + 1, bnext)
+    emit = ((b <= pos) & (b < bnext)
+            & (pos - b + 1 >= min_seed_len)
+            & (pos < lens[:, None]))
+    cnt = jnp.sum(emit, axis=1, dtype=jnp.int32)
+    key = jnp.where(emit, pos, pos + L)
+    order = jnp.argsort(key, axis=1)[:, :cap].astype(jnp.int32)
+    take = lambda a: jnp.take_along_axis(a, order, axis=1)
+    slot_ok = jnp.arange(cap, dtype=jnp.int32)[None, :] < cnt[:, None]
+    n_out = jnp.where(slot_ok, order, -1).astype(jnp.int16)
+    b_out = jnp.where(slot_ok, take(b), -1).astype(jnp.int16)
+    s_out = jnp.where(slot_ok, jnp.minimum(take(s), 2**31 - 1),
+                      0).astype(jnp.int32)
+    k_out = jnp.where(slot_ok, take(k), 0)
+    return cnt, n_out, b_out, s_out, k_out
 
 
 def round1_emit(b, k, s, lens, min_seed_len):
@@ -186,63 +178,92 @@ def round1_emit(b, k, s, lens, min_seed_len):
     return emit
 
 
-@partial(jax.jit, static_argnums=())
-def round3_kernel(dfm: DeviceFMIndex, enc: jax.Array, lens: jax.Array,
-                  max_intv: jax.Array, min_seed_len: jax.Array):
-    """Forward-only walk from every (read, start) lane
-    (bwtSeedStrategyAllPosOneThread semantics).
+@partial(jax.jit, static_argnums=(5,))
+def round3_replay_kernel(dfm: DeviceFMIndex, enc: jax.Array,
+                         lens: jax.Array, max_intv: jax.Array,
+                         min_seed_len: jax.Array, cap: int):
+    """Round 3 with the pivot chain replayed ON DEVICE, one lane per READ.
 
-    Returns per-lane: stop column (int32), emit flag, n, k, s."""
+    bwtSeedStrategyAllPosOneThread's host loop is `x = 0; while x < len:
+    forward-walk from x; emit at first hit; x = stop + 1` — sequential per
+    read but independent across reads.  Running it as N read-lanes (instead
+    of N*L position-lanes + host replay) does 64x less gather work and
+    returns only the <= cap emitted seeds per read, so nothing O(N*L)
+    crosses the device->host link.
+
+    min_seed_len is passed as opt.min_seed_len + 1 (hit needs len > min).
+    cap must be >= L // (min_seed_len + 1) + 1 so it cannot overflow.
+
+    Returns nout int32[N], x int16[N,cap], n int16[N,cap], s int32[N,cap]
+    (clamped), k int64[N,cap]."""
     N, L = enc.shape
-    pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), (N, L))
-    a0 = enc
-    valid = (a0 < 4) & (pos < lens[:, None])
-    a0c = jnp.where(valid, a0, 0).astype(jnp.int32)
-    k = dfm.counts[a0c]
-    l = dfm.counts[3 - a0c]
-    s = dfm.counts[a0c + 1] - dfm.counts[a0c]
-    col = pos + 1
-    # stop for invalid-start lanes is the start itself (next_x = x + 1)
-    stop = pos
-    emit = jnp.zeros((N, L), bool)
-    n_out = pos
-    k_out = k
-    s_out = s
-    alive = valid
+    enc = enc.astype(jnp.int32)
+    x = jnp.zeros((N,), jnp.int32)
+    col = jnp.zeros((N,), jnp.int32)
+    k = jnp.zeros((N,), I64)
+    l = jnp.zeros((N,), I64)
+    s = jnp.zeros((N,), I64)
+    seg = jnp.zeros((N,), bool)
+    nout = jnp.zeros((N,), jnp.int32)
+    out_x = jnp.full((N, cap), -1, jnp.int16)
+    out_n = jnp.full((N, cap), -1, jnp.int16)
+    out_s = jnp.zeros((N, cap), jnp.int32)
+    out_k = jnp.zeros((N, cap), I64)
+    slot_iota = jnp.arange(cap, dtype=jnp.int32)[None, :]
 
-    def cond(st):
-        return jnp.any(st[0])
-
-    def body(st):
-        alive, col, k, l, s, stop, emit, n_out, k_out, s_out = st
-        inb = col < lens[:, None]
-        c = jnp.take_along_axis(enc, jnp.minimum(col, L - 1)
-                                .astype(jnp.int32), axis=1)
-        ok = alive & inb & (c < 4)
-        cc = jnp.where(ok, 3 - c, 0).astype(jnp.int32)
-        # forward ext == backward ext on RC index with k/l swapped
+    def body(_, st):
+        x, col, k, l, s, seg, nout, out_x, out_n, out_s, out_k = st
+        done = x >= lens
+        # -- lanes not in a segment: try to start one at x --
+        starting = ~done & ~seg
+        c0 = jnp.take_along_axis(
+            enc, jnp.clip(x, 0, L - 1)[:, None], axis=1)[:, 0]
+        start_ok = starting & (c0 < 4)
+        x = jnp.where(starting & ~start_ok, x + 1, x)   # N at x: next_x=x+1
+        c0c = jnp.where(start_ok, c0, 0)
+        k = jnp.where(start_ok, dfm.counts[c0c], k)
+        l = jnp.where(start_ok, dfm.counts[3 - c0c], l)
+        s = jnp.where(start_ok, dfm.counts[c0c + 1] - dfm.counts[c0c], s)
+        col = jnp.where(start_ok, x + 1, col)
+        # -- lanes already in a segment: advance one column --
+        adv = ~done & seg
+        inb = col < lens
+        c = jnp.take_along_axis(
+            enc, jnp.clip(col, 0, L - 1)[:, None], axis=1)[:, 0]
+        # walked off the read end: stop = len-1 -> next_x = len (lane done)
+        end_nat = adv & ~inb
+        x = jnp.where(end_nat, lens, x)
+        # N at col: stop = col -> next_x = col + 1
+        end_n = adv & inb & (c >= 4)
+        x = jnp.where(end_n, col + 1, x)
+        ok = adv & inb & (c < 4)
+        cc = jnp.where(ok, 3 - c, 0)
         nl, nk, ns = backward_ext_full(dfm, l, k, s, cc)
         k = jnp.where(ok, nk, k)
         l = jnp.where(ok, nl, l)
         s = jnp.where(ok, ns, s)
-        ln = col - pos + 1
+        ln = col - x + 1
         hit = ok & (s < max_intv) & (ln >= min_seed_len)
-        emit = emit | (hit & (s > 0))
-        n_out = jnp.where(hit, col, n_out)
-        k_out = jnp.where(hit, k, k_out)
-        s_out = jnp.where(hit, s, s_out)
-        # stop at N (col), at hit (col); natural end -> len-1
-        stop = jnp.where(alive & inb & (c >= 4), col, stop)
-        stop = jnp.where(hit, col, stop)
-        stop = jnp.where(alive & ~inb, lens[:, None] - 1, stop)
-        alive = ok & ~hit
-        col = jnp.where(alive, col + 1, col)
-        return alive, col, k, l, s, stop, emit, n_out, k_out, s_out
+        do_emit = hit & (s > 0)
+        onehot = (slot_iota == jnp.clip(nout, 0, cap - 1)[:, None]) \
+            & do_emit[:, None]
+        out_x = jnp.where(onehot, x[:, None].astype(jnp.int16), out_x)
+        out_n = jnp.where(onehot, col[:, None].astype(jnp.int16), out_n)
+        out_s = jnp.where(
+            onehot, jnp.minimum(s, 2**31 - 1)[:, None].astype(jnp.int32),
+            out_s)
+        out_k = jnp.where(onehot, k[:, None], out_k)
+        nout = nout + do_emit.astype(jnp.int32)
+        # hit: stop = col -> next_x = col + 1
+        x = jnp.where(hit, col + 1, x)
+        col = jnp.where(ok & ~hit, col + 1, col)
+        seg = jnp.where(adv, ok & ~hit, seg)
+        seg = jnp.where(start_ok, True, seg)
+        return x, col, k, l, s, seg, nout, out_x, out_n, out_s, out_k
 
-    st = jax.lax.while_loop(cond, body, (alive, col, k, l, s, stop, emit,
-                                         n_out, k_out, s_out))
-    _, _, _, _, _, stop, emit, n_out, k_out, s_out = st
-    return stop, emit, n_out, k_out, s_out
+    st = (x, col, k, l, s, seg, nout, out_x, out_n, out_s, out_k)
+    st = jax.lax.fori_loop(0, 2 * L + 2, body, st)
+    return st[6], st[7], st[8], st[9], st[10]
 
 
 @partial(jax.jit, static_argnums=(4,))
@@ -325,10 +346,7 @@ def round2_backward_kernel(dfm: DeviceFMIndex, enc_rev: jax.Array,
     alive = (rlen > 0) & (s > 0)
     died = jnp.zeros((M,), bool)
 
-    def cond(st):
-        return jnp.any(st[0])
-
-    def body(st):
+    def body(_, st):
         alive, col, k, s, steps, died = st
         c = jnp.take_along_axis(enc_rev, jnp.minimum(col, L - 1)[:, None],
                                 axis=1)[:, 0]
@@ -345,6 +363,6 @@ def round2_backward_kernel(dfm: DeviceFMIndex, enc_rev: jax.Array,
         alive = ext
         return alive, col, k, s, steps, died
 
-    st = jax.lax.while_loop(cond, body, (alive, col, k, s, steps, died))
+    st = jax.lax.fori_loop(0, L, body, (alive, col, k, s, steps, died))
     _, _, k, s, steps, died = st
     return steps, k, s, died
