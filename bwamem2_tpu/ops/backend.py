@@ -77,15 +77,20 @@ class DeviceBackend:
         per_read: list[list[tuple]] = [[] for _ in encs]
 
         # ---- round 1: device walk + emit + compaction; tiny transfers ----
+        # round 3 is enqueued right behind it (it only needs enc) so the
+        # device computes it while the host chews on rounds 1-2.
         t0 = __import__("time").perf_counter()
-        cnt, n1, b1, s1, k1 = round1_compact_kernel(
+        r1 = round1_compact_kernel(
             self.dfm, encj, lensj, self.lut_k_bits,
             jnp.int32(opt.min_seed_len), ROUND1_CAP)
-        cnt = np.asarray(cnt)[:NR]
-        n1 = np.asarray(n1)[:NR]
-        b1 = np.asarray(b1)[:NR]
-        s1 = np.asarray(s1)[:NR]
-        k1 = np.asarray(k1)[:NR]
+        r3 = None
+        if opt.max_mem_intv > 0:
+            msl_p1 = max(opt.min_seed_len + 1, 2)
+            cap3 = L // (msl_p1 + 1) + 1
+            r3 = round3_replay_kernel(
+                self.dfm, encj, lensj, jnp.int64(opt.max_mem_intv),
+                jnp.int32(msl_p1), cap3)
+        cnt, n1, b1, s1, k1 = [a[:NR] for a in jax.device_get(r1)]
         overflow_reads = np.nonzero(cnt > ROUND1_CAP)[0]
         oflow = set(overflow_reads.tolist())
         for rid in range(NR):
@@ -110,19 +115,10 @@ class DeviceBackend:
             with PROF("seeding.round2"):
                 self._round2(enc, lens, pivots, opt, per_read)
 
-        # ---- round 3: per-read pivot-chain replay on device ----
-        if opt.max_mem_intv > 0:
+        # ---- round 3: per-read pivot-chain replay (enqueued above) ----
+        if r3 is not None:
             t0 = __import__("time").perf_counter()
-            msl_p1 = max(opt.min_seed_len + 1, 2)
-            cap3 = L // (msl_p1 + 1) + 1
-            n3out, x3, n3, s3, k3 = round3_replay_kernel(
-                self.dfm, encj, lensj, jnp.int64(opt.max_mem_intv),
-                jnp.int32(msl_p1), cap3)
-            n3out = np.asarray(n3out)[:NR]
-            x3 = np.asarray(x3)[:NR]
-            n3 = np.asarray(n3)[:NR]
-            s3 = np.asarray(s3)[:NR]
-            k3 = np.asarray(k3)[:NR]
+            n3out, x3, n3, s3, k3 = [a[:NR] for a in jax.device_get(r3)]
             for rid in range(NR):
                 if rid in oflow:
                     continue
@@ -147,69 +143,78 @@ class DeviceBackend:
         return per_read
 
     def _round2(self, enc, lens, pivots, opt, per_read):
-        P = bucket_pow2(len(pivots), 64)
+        NP = len(pivots)
+        P = bucket_pow2(NP, 64)
         L = enc.shape[1]
-        enc_p = np.full((P, L), 4, np.int8)
+        rids = np.fromiter((p[0] for p in pivots), np.int32, NP)
+        xs = np.fromiter((p[1] for p in pivots), np.int32, NP)
+        mis = np.fromiter((p[2] for p in pivots), np.int64, NP)
+        plen_r = lens[rids] - xs
+        # forward inputs: read suffix from the pivot, vectorized gather
+        Lp = round_up(int(plen_r.max(initial=1)), 32)
+        cidx = xs[:, None] + np.arange(Lp, dtype=np.int32)[None, :]
+        enc_p = np.full((P, Lp), 4, np.int8)
+        enc_p[:NP] = np.where(cidx < lens[rids][:, None],
+                              np.take_along_axis(
+                                  enc[rids], np.minimum(cidx, L - 1), axis=1),
+                              4)
         plen = np.zeros((P,), np.int32)
+        plen[:NP] = plen_r
         min_intv = np.ones((P,), np.int64)
-        for i, (rid, x, mi) in enumerate(pivots):
-            ln = lens[rid]
-            enc_p[i, : ln - x] = enc[rid, x:ln]
-            plen[i] = ln - x
-            min_intv[i] = mi
+        min_intv[:NP] = mis
         cn, ck_dev, cl, cs_dev, ncand = round2_forward_kernel(
             self.dfm, jnp.asarray(enc_p), jnp.asarray(plen),
             jnp.asarray(min_intv), ROUND2_MAX_CAND)
         # ck/cs stay device-resident (int64 grids): the backward pass
         # gathers its lane inputs from them on device
-        cn = np.asarray(cn)
-        ncand = np.asarray(ncand)
+        cn, ncand = jax.device_get((cn, ncand))
 
         # overflowed pivots fall back to the host oracle
         overflow = ncand > ROUND2_MAX_CAND
-        if overflow.any():
+        if overflow[:NP].any():
             from ..align.seeding import smems_one_pos
-            for i in np.nonzero(overflow)[0]:
+            for i in np.nonzero(overflow[:NP])[0]:
                 rid, x, mi = pivots[i]
                 out = []
                 smems_one_pos(self.fm, enc[rid, : lens[rid]].astype(np.uint8),
                               rid, x, mi, opt.min_seed_len, out)
                 per_read[rid].extend(out)
 
-        # flatten candidate lanes for the backward pass
-        lane_piv, lane_slot = [], []
-        for i in range(len(pivots)):
-            if overflow[i]:
-                continue
-            for t in range(int(ncand[i])):
-                lane_piv.append(i)
-                lane_slot.append(t)
-        if not lane_piv:
+        # flatten candidate lanes for the backward pass (vectorized)
+        nc_ok = np.where(overflow[:NP], 0, ncand[:NP])
+        lane_piv = np.repeat(np.arange(NP, dtype=np.int32), nc_ok)
+        lane_slot = (np.arange(len(lane_piv), dtype=np.int64)
+                     - np.repeat(np.cumsum(nc_ok) - nc_ok, nc_ok)
+                     ).astype(np.int32)
+        nl = len(lane_piv)
+        if nl == 0:
             return
-        M = bucket_pow2(len(lane_piv), 64)
-        pad = M - len(lane_piv)
-        enc_rev = np.full((M, L), 4, np.int8)
+        M = bucket_pow2(nl, 64)
+        pad = M - nl
+        lx = xs[lane_piv]
+        Lr = round_up(int(lx.max(initial=1)), 32)
+        ridx = lx[:, None] - 1 - np.arange(Lr, dtype=np.int32)[None, :]
+        enc_rev = np.full((M, Lr), 4, np.int8)
+        enc_rev[:nl] = np.where(ridx >= 0,
+                                np.take_along_axis(
+                                    enc[rids[lane_piv]],
+                                    np.maximum(ridx, 0), axis=1),
+                                4)
         rlen = np.zeros((M,), np.int32)
+        rlen[:nl] = lx
         bmi = np.ones((M,), np.int64)
-        for j, (i, t) in enumerate(zip(lane_piv, lane_slot)):
-            rid, x, mi = pivots[i]
-            enc_rev[j, :x] = enc[rid, :x][::-1]
-            rlen[j] = x
-            bmi[j] = mi
-        piv_idx = np.concatenate([np.asarray(lane_piv, np.int32),
-                                  np.zeros(pad, np.int32)])
-        slot_idx = np.concatenate([np.asarray(lane_slot, np.int32),
-                                   np.zeros(pad, np.int32)])
+        bmi[:nl] = mis[lane_piv]
+        piv_idx = np.concatenate([lane_piv, np.zeros(pad, np.int32)])
+        slot_idx = np.concatenate([lane_slot, np.zeros(pad, np.int32)])
         bk, bs = _gather2d_pair(ck_dev, cs_dev, jnp.asarray(piv_idx),
                                 jnp.asarray(slot_idx))
-        bs = jnp.where(jnp.arange(M) < len(lane_piv), bs, 0)
-        steps, fk, fs, died = round2_backward_kernel(
+        bs = jnp.where(jnp.arange(M) < nl, bs, 0)
+        steps, fk, fs, died = jax.device_get(round2_backward_kernel(
             self.dfm, jnp.asarray(enc_rev), jnp.asarray(rlen),
-            bk, bs, jnp.asarray(bmi))
-        steps = np.asarray(steps)
-        fk = np.asarray(fk)
-        fs = np.asarray(fs)
-        died = np.asarray(died)
+            bk, bs, jnp.asarray(bmi)))
+        lane_piv = lane_piv.tolist()
+        lane_slot = lane_slot.tolist()
+        pivots = pivots[:NP]
 
         # emission rules (see module docstring of ops/smem.py)
         lane_of = {}
