@@ -81,11 +81,16 @@ def main():
     al = Aligner(fm, opt, backend=backend, verbose=0)
 
     al.process(reads, 0)          # warm: compile all shape buckets
-    for r in reads:
-        r.sam = None
-    t0 = time.time()
-    al.process(reads, 0)
-    dt = time.time() - t0
+    # median of 3 timed passes: the tunneled-TPU link's throughput varies
+    # several-fold between runs, and the median is the honest steady state
+    times = []
+    for _ in range(3):
+        for r in reads:
+            r.sam = None
+        t0 = time.time()
+        al.process(reads, 0)
+        times.append(time.time() - t0)
+    dt = sorted(times)[1]
     ours = len(reads) / dt
     print(f"[bench] ours: {ours:.0f} reads/s e2e "
           f"({dt:.2f}s, {len(reads)} reads, 1 chip)", file=sys.stderr)
