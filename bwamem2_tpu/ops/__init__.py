@@ -28,8 +28,14 @@ def round_up(n: int, m: int) -> int:
 
 
 def bucket_pow2(n: int, lo: int = 256) -> int:
-    """Smallest power-of-two >= max(n, lo) — shape bucketing for jit."""
+    """Smallest bucket >= max(n, lo) from {lo, 1.5lo, 2lo, 3lo, 4lo, ...} —
+    shape bucketing for jit with at most 2 variants per octave (a pure
+    power-of-two ladder wastes up to 50% of the lanes; this caps waste at
+    ~33% for one extra compile per octave, amortized by the persistent
+    compilation cache)."""
     b = lo
     while b < n:
+        if b + (b >> 1) >= n:
+            return b + (b >> 1)
         b <<= 1
     return b

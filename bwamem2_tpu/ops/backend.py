@@ -26,15 +26,12 @@ ROUND2_MAX_CAND = 64
 ROUND1_CAP = 24   # compact SMEM slots per read; overflow -> host oracle
 
 
-@jax.jit
-def _gather2d_pair(a, b, i, j):
-    return a[i, j], b[i, j]
-
-
 def _pad_reads(encs: list[np.ndarray], L: int | None = None):
-    # bucket both dims so the jitted kernels compile once per bucket
+    # bucket both dims so the jitted kernels compile once per bucket; L is
+    # kept tight (multiple of 8) — seeding cost scales with iters * lanes
+    # = O(L^2), so 101bp reads at L=104 beat L=128 by ~1.5x
     N = bucket_pow2(len(encs), 64)
-    L = round_up(L or max((len(e) for e in encs), default=1), 32)
+    L = round_up(L or max((len(e) for e in encs), default=1), 8)
     enc = np.full((N, L), 4, dtype=np.int8)
     lens = np.zeros((N,), dtype=np.int32)
     for i, e in enumerate(encs):
@@ -113,7 +110,7 @@ class DeviceBackend:
                     pivots.append((rid, (n + 1 + m) >> 1, ss + 1))
         if pivots:
             with PROF("seeding.round2"):
-                self._round2(enc, lens, pivots, opt, per_read)
+                self._round2(encj, lens, pivots, opt, per_read, encs)
 
         # ---- round 3: per-read pivot-chain replay (enqueued above) ----
         if r3 is not None:
@@ -142,29 +139,25 @@ class DeviceBackend:
             per_read[rid].sort(key=lambda t: (t[1] << 32) | t[2])
         return per_read
 
-    def _round2(self, enc, lens, pivots, opt, per_read):
+    def _round2(self, encj, lens, pivots, opt, per_read, encs):
         NP = len(pivots)
         P = bucket_pow2(NP, 64)
-        L = enc.shape[1]
+        L = encj.shape[1]
         rids = np.fromiter((p[0] for p in pivots), np.int32, NP)
         xs = np.fromiter((p[1] for p in pivots), np.int32, NP)
         mis = np.fromiter((p[2] for p in pivots), np.int64, NP)
-        plen_r = lens[rids] - xs
-        # forward inputs: read suffix from the pivot, vectorized gather
-        Lp = round_up(int(plen_r.max(initial=1)), 32)
-        cidx = xs[:, None] + np.arange(Lp, dtype=np.int32)[None, :]
-        enc_p = np.full((P, Lp), 4, np.int8)
-        enc_p[:NP] = np.where(cidx < lens[rids][:, None],
-                              np.take_along_axis(
-                                  enc[rids], np.minimum(cidx, L - 1), axis=1),
-                              4)
-        plen = np.zeros((P,), np.int32)
-        plen[:NP] = plen_r
+        # pivot descriptors only — sequences stay on device (pad rid = -1)
+        ridp = np.full((P,), -1, np.int32)
+        ridp[:NP] = rids
+        xp = np.zeros((P,), np.int32)
+        xp[:NP] = xs
         min_intv = np.ones((P,), np.int64)
         min_intv[:NP] = mis
+        ridp_j = jnp.asarray(ridp)
+        xp_j = jnp.asarray(xp)
+        mi_j = jnp.asarray(min_intv)
         cn, ck_dev, cl, cs_dev, ncand = round2_forward_kernel(
-            self.dfm, jnp.asarray(enc_p), jnp.asarray(plen),
-            jnp.asarray(min_intv), ROUND2_MAX_CAND)
+            self.dfm, encj, ridp_j, xp_j, mi_j, ROUND2_MAX_CAND)
         # ck/cs stay device-resident (int64 grids): the backward pass
         # gathers its lane inputs from them on device
         cn, ncand = jax.device_get((cn, ncand))
@@ -176,7 +169,7 @@ class DeviceBackend:
             for i in np.nonzero(overflow[:NP])[0]:
                 rid, x, mi = pivots[i]
                 out = []
-                smems_one_pos(self.fm, enc[rid, : lens[rid]].astype(np.uint8),
+                smems_one_pos(self.fm, encs[rid].astype(np.uint8),
                               rid, x, mi, opt.min_seed_len, out)
                 per_read[rid].extend(out)
 
@@ -191,65 +184,41 @@ class DeviceBackend:
             return
         M = bucket_pow2(nl, 64)
         pad = M - nl
-        lx = xs[lane_piv]
-        Lr = round_up(int(lx.max(initial=1)), 32)
-        ridx = lx[:, None] - 1 - np.arange(Lr, dtype=np.int32)[None, :]
-        enc_rev = np.full((M, Lr), 4, np.int8)
-        enc_rev[:nl] = np.where(ridx >= 0,
-                                np.take_along_axis(
-                                    enc[rids[lane_piv]],
-                                    np.maximum(ridx, 0), axis=1),
-                                4)
-        rlen = np.zeros((M,), np.int32)
-        rlen[:nl] = lx
-        bmi = np.ones((M,), np.int64)
-        bmi[:nl] = mis[lane_piv]
-        piv_idx = np.concatenate([lane_piv, np.zeros(pad, np.int32)])
+        # pad lanes point at a pad pivot slot (xp == 0 -> dead)
+        piv_idx = np.concatenate([lane_piv,
+                                  np.full(pad, P - 1, np.int32)])
         slot_idx = np.concatenate([lane_slot, np.zeros(pad, np.int32)])
-        bk, bs = _gather2d_pair(ck_dev, cs_dev, jnp.asarray(piv_idx),
-                                jnp.asarray(slot_idx))
-        bs = jnp.where(jnp.arange(M) < nl, bs, 0)
         steps, fk, fs, died = jax.device_get(round2_backward_kernel(
-            self.dfm, jnp.asarray(enc_rev), jnp.asarray(rlen),
-            bk, bs, jnp.asarray(bmi)))
-        lane_piv = lane_piv.tolist()
-        lane_slot = lane_slot.tolist()
-        pivots = pivots[:NP]
+            self.dfm, encj, ridp_j, xp_j,
+            ck_dev, cs_dev, jnp.asarray(piv_idx), jnp.asarray(slot_idx),
+            mi_j))
+        steps = steps[:nl]
+        fk = fk[:nl]
+        fs = fs[:nl]
+        died = died[:nl]
 
-        # emission rules (see module docstring of ops/smem.py)
-        lane_of = {}
-        for j, (i, t) in enumerate(zip(lane_piv, lane_slot)):
-            lane_of[(i, t)] = j
-        for i in range(len(pivots)):
-            if overflow[i]:
-                continue
-            rid, x, mi = pivots[i]
-            nc = int(ncand[i])
-            if nc == 0:
-                continue
-            # candidates in descending n (pushed ascending)
-            order = list(range(nc - 1, -1, -1))
-            emitted_steps = set()
-            survivor_done = False
-            for t in order:
-                j = lane_of[(i, t)]
-                n_abs = x + int(cn[i, t])
-                m_abs = x - int(steps[j])
-                if died[j]:
-                    st = int(steps[j])
-                    if st in emitted_steps:
-                        continue
-                    emitted_steps.add(st)
-                    if n_abs - m_abs + 1 >= opt.min_seed_len:
-                        per_read[rid].append((rid, m_abs, n_abs, int(fk[j]),
-                                              0, int(fs[j])))
-                else:
-                    if survivor_done:
-                        continue
-                    survivor_done = True
-                    if n_abs - m_abs + 1 >= opt.min_seed_len:
-                        per_read[rid].append((rid, m_abs, n_abs, int(fk[j]),
-                                              0, int(fs[j])))
+        # emission rules (see module docstring of ops/smem.py), vectorized:
+        # per pivot, candidates are examined in DESCENDING slot order; each
+        # died lane claims its death column (steps) — first claimant wins —
+        # and the first surviving lane is the lone survivor emit.  "First in
+        # descending slot order" == "max slot per group":
+        n_abs = xs[lane_piv] + cn[lane_piv, lane_slot]
+        m_abs = xs[lane_piv] - steps
+        ok_len = (n_abs - m_abs + 1) >= opt.min_seed_len
+        grp = lane_piv.astype(np.int64) * (L + 2) \
+            + np.where(died, steps + 1, 0)   # survivors share group 0/pivot
+        order = np.lexsort((lane_slot, grp))
+        g = grp[order]
+        last_in_grp = np.ones(nl, bool)
+        last_in_grp[:-1] = g[:-1] != g[1:]
+        win = np.zeros(nl, bool)
+        win[order] = last_in_grp
+        emit = win & ok_len
+        for j in np.nonzero(emit)[0].tolist():
+            i = int(lane_piv[j])
+            per_read[int(rids[i])].append(
+                (int(rids[i]), int(m_abs[j]), int(n_abs[j]), int(fk[j]), 0,
+                 int(fs[j])))
 
     # ------------------------------------------------------------------
     # batched SA lookup

@@ -266,16 +266,29 @@ def round3_replay_kernel(dfm: DeviceFMIndex, enc: jax.Array,
     return st[6], st[7], st[8], st[9], st[10]
 
 
-@partial(jax.jit, static_argnums=(4,))
-def round2_forward_kernel(dfm: DeviceFMIndex, enc_p: jax.Array,
-                          plen: jax.Array, min_intv: jax.Array, C: int):
+@partial(jax.jit, static_argnums=(5,))
+def round2_forward_kernel(dfm: DeviceFMIndex, enc: jax.Array,
+                          rid: jax.Array, x: jax.Array,
+                          min_intv: jax.Array, C: int):
     """Forward pass per pivot: collect candidate prefixes.
 
-    enc_p: int32[P, L] the pivot's read suffix starting at the pivot column
-    (enc_p[:, 0] = char at pivot), plen: remaining length.  Returns per pivot
-    up to C candidates: n_off (end offset from pivot), k, l, s; count."""
-    P, L = enc_p.shape
-    a0 = enc_p[:, 0].astype(jnp.int32)
+    enc: the device-resident padded read grid int8[N, L] (pad char 4 marks
+    the read end, so no separate length array is needed); rid/x int32[P]:
+    pivot read row and column.  Chars are fetched straight from the grid —
+    pivot sequences are never re-sliced on the host or re-uploaded.
+    Returns per pivot up to C candidates: n_off (end offset from pivot),
+    k, l, s; count."""
+    N, L = enc.shape
+    P = rid.shape[0]
+    enc_flat = enc.reshape(-1).astype(jnp.int32)
+    base = rid * L + x
+
+    def char_at(off):
+        idx = jnp.clip(base + off, 0, N * L - 1)
+        return enc_flat[idx]
+
+    a0 = char_at(0)
+    plen = jnp.where(rid >= 0, L - x, 0)  # chars beyond the read are 4
     valid = (a0 < 4) & (plen > 0)
     a0c = jnp.where(valid, a0, 0)
     k0 = dfm.counts[a0c]
@@ -302,7 +315,7 @@ def round2_forward_kernel(dfm: DeviceFMIndex, enc_p: jax.Array,
 
     def body(j, st):
         (cands, ncand, k, l, s, n, alive) = st
-        c = enc_p[:, j].astype(jnp.int32)
+        c = char_at(j)
         ok = alive & (j < plen) & (c < 4)
         cc = jnp.where(ok, 3 - c, 0)
         nl, nk, ns = backward_ext_full(dfm, l, k, s, cc)
@@ -331,30 +344,44 @@ def round2_forward_kernel(dfm: DeviceFMIndex, enc_p: jax.Array,
 
 
 @partial(jax.jit, static_argnums=())
-def round2_backward_kernel(dfm: DeviceFMIndex, enc_rev: jax.Array,
-                           rlen: jax.Array, k: jax.Array, s: jax.Array,
+def round2_backward_kernel(dfm: DeviceFMIndex, enc: jax.Array,
+                           ridp: jax.Array, xp: jax.Array,
+                           ck: jax.Array, cs: jax.Array,
+                           piv_idx: jax.Array, slot_idx: jax.Array,
                            min_intv: jax.Array):
     """Backward pass per candidate lane.
 
-    enc_rev: int32[M, L] read prefix left of the pivot, REVERSED (enc_rev[:,0]
-    = char at pivot-1), rlen: number of valid chars.  Walks until the interval
-    size drops below min_intv; returns steps taken (death offset), final k/s,
+    enc: the device-resident padded read grid int8[N, L]; ridp/xp int32[P]:
+    per-PIVOT read row and pivot column (a pad pivot has xp == 0, making its
+    lanes dead).  piv_idx/slot_idx int32[M] map each lane to its pivot and
+    forward-candidate slot; the lane's start interval is gathered on device
+    from the forward pass's device-resident candidate grids (k =
+    ck[piv, slot]), and chars come straight from the read grid — nothing is
+    re-sliced on the host or re-uploaded.  Walks until the interval size
+    drops below min_intv; returns steps taken (death offset), final k/s,
     and whether the lane died (vs hit start/N)."""
-    M, L = enc_rev.shape
+    N, L = enc.shape
+    enc_flat = enc.reshape(-1).astype(jnp.int32)
+    k = ck[piv_idx, slot_idx]
+    s = cs[piv_idx, slot_idx]
+    rid = ridp[piv_idx]
+    x = xp[piv_idx]
+    mi = min_intv[piv_idx]
+    M = piv_idx.shape[0]
     steps = jnp.zeros((M,), jnp.int32)
     col = jnp.zeros((M,), jnp.int32)
-    alive = (rlen > 0) & (s > 0)
+    alive = (x > 0) & (s > 0)
     died = jnp.zeros((M,), bool)
+    base = rid * L + x - 1
 
     def body(_, st):
         alive, col, k, s, steps, died = st
-        c = jnp.take_along_axis(enc_rev, jnp.minimum(col, L - 1)[:, None],
-                                axis=1)[:, 0]
-        ok = alive & (col < rlen) & (c < 4)
+        c = enc_flat[jnp.clip(base - col, 0, N * L - 1)]
+        ok = alive & (col < x) & (c < 4)
         cc = jnp.where(ok, c, 0).astype(jnp.int32)
         k2, s2 = lf_step(dfm, k, s, cc)
-        ext = ok & (s2 >= min_intv)
-        dies = ok & (s2 < min_intv)
+        ext = ok & (s2 >= mi)
+        dies = ok & (s2 < mi)
         died = died | dies
         k = jnp.where(ext, k2, k)
         s = jnp.where(ext, s2, s)
