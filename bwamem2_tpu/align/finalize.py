@@ -58,8 +58,8 @@ def gen_cigar(fm: FMIndex, opt, l_query: int, query: np.ndarray, rb: int,
 
     if l_query == re - rb and w_ == 0:
         cigar = [(l_query, 0)]
-        score = int(sum(int(mat[int(rseq[i]) * 5 + int(query[i])])
-                        for i in range(l_query)))
+        score = int(mat[rseq.astype(np.int32) * 5
+                        + query.astype(np.int32)].astype(np.int32).sum())
         n_cigar = 1
     else:
         max_ins = int((((l_query + 1) >> 1) * opt.mat[0] - opt.o_ins)
@@ -89,14 +89,14 @@ def gen_cigar(fm: FMIndex, opt, l_query: int, query: np.ndarray, rb: int,
         md = []
         for k, (ln, op) in enumerate(cigar):
             if op == 0:
-                for i in range(ln):
-                    if query[x + i] != rseq[y + i]:
-                        md.append(str(u))
-                        md.append(int2base[int(rseq[y + i])])
-                        n_mm += 1
-                        u = 0
-                    else:
-                        u += 1
+                mism = np.flatnonzero(query[x:x + ln] != rseq[y:y + ln])
+                prev = -1
+                for i in mism.tolist():
+                    md.append(str(u + i if prev < 0 else i - prev - 1))
+                    md.append(int2base[int(rseq[y + i])])
+                    prev = i
+                n_mm += len(mism)
+                u = (u + ln if prev < 0 else ln - prev - 1)
                 x += ln
                 y += ln
             elif op == 2:
@@ -498,6 +498,9 @@ def _cigar_str(opt, p: Aln, which: int) -> str:
 
 
 COMP = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+# 256-entry translate table: COMP with everything else -> N (matches the
+# per-char COMP.get(c, "N") of mem_aln2sam's revcomp loop, but in C speed)
+RC_TABLE = str.maketrans({chr(i): COMP.get(chr(i), "N") for i in range(256)})
 NT_CHR = "ACGTN"
 NT_CHR_RC = "TGCAN"
 
@@ -564,7 +567,7 @@ def aln2sam(fm: FMIndex, opt, read, n: int, alns: list[Aln], which: int,
                     qe -= p.cigar[0][0]
                 if p.cigar[-1][1] in (3, 4):
                     qb += p.cigar[-1][0]
-            out.append("".join(COMP.get(c, "N") for c in reversed(seq[qb:qe])))
+            out.append(seq[qb:qe].translate(RC_TABLE)[::-1])
             out.append("\t")
             out.append(qual[qb:qe][::-1] if qual else "*")
 
