@@ -60,12 +60,22 @@ def cal_max_gap(opt, qlen: int) -> int:
 
 @dataclass
 class _Pair:
-    """One extension problem (SeqPair analog, bandedSWA.h:90-99)."""
+    """One extension problem (SeqPair analog, bandedSWA.h:90-99).
+
+    ref/qer are the materialized sequences (host kernels, device fallback);
+    when the read grid and reference live on device, the descriptor fields
+    (qoff/qdir into the padded read grid row, toff/tdir absolute into the
+    doubled-genome ref array) let the device kernel gather the sequences
+    itself so only ~40B/pair crosses the host->device link."""
     ref: np.ndarray
     qer: np.ndarray
     h0: int
     regid: int      # index into the read's alnreg list
     seqid: int
+    qoff: int = -1  # first query char offset within the read (qdir walk)
+    qdir: int = 0
+    toff: int = -1  # first ref char (absolute, doubled genome)
+    tdir: int = 0
 
 
 def _run_class(pairs: list[_Pair], opt, regs_by_seqid, side: str,
@@ -198,7 +208,9 @@ def extend_chains(fm: FMIndex, opt, encs: list[np.ndarray],
                         else rseq[0:0].copy()
                     left_pairs.append(_Pair(ref=rs, qer=qs,
                                             h0=s.len * opt.a, regid=regid,
-                                            seqid=seqid))
+                                            seqid=seqid,
+                                            qoff=s.qbeg - 1, qdir=-1,
+                                            toff=s.rbeg - 1, tdir=-1))
                     a.qb = s.qbeg
                     a.rb = s.rbeg
                 else:
@@ -212,7 +224,9 @@ def extend_chains(fm: FMIndex, opt, encs: list[np.ndarray],
                     qs = enc[qe:].copy()
                     rs = rseq[re:rmax1 - rmax0].copy()
                     right_pairs.append(_Pair(ref=rs, qer=qs, h0=H0_NULL,
-                                             regid=regid, seqid=seqid))
+                                             regid=regid, seqid=seqid,
+                                             qoff=qe, qdir=1,
+                                             toff=s.rbeg + s.len, tdir=1))
                     a.qe = qe
                     a.re = rmax0 + re
                 else:

@@ -70,6 +70,10 @@ class DeviceBackend:
         NR = len(encs)
         encj = jnp.asarray(enc)
         lensj = jnp.asarray(lens)
+        if self._bsw is not None:
+            # extension kernels gather query sequences from this chunk's
+            # device-resident read grid (descriptor path, ops/bsw.py)
+            self._bsw.encj = encj
 
         per_read: list[list[tuple]] = [[] for _ in encs]
 

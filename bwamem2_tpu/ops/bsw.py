@@ -41,11 +41,44 @@ NEG_BIG = jnp.int32(-(1 << 30))
 def bsw_kernel(q, t, qlen, tlen, h0, w_in, mat_a, mat_b,
                o_del: int, e_del: int, o_ins: int, e_ins: int,
                zdrop: int, end_bonus: int, max_sc: int):
-    """Batched banded SW extension.
+    """Batched banded SW extension over materialized sequence tiles.
 
-    q: int32[P, Qmax] query codes (lane-padded with 4), t: int32[P, Tmax],
+    q: int{8,32}[P, Qmax] query codes (lane-padded with 4), t: [P, Tmax],
     qlen/tlen/h0/w_in: int32[P].  mat_a/mat_b: match score / mismatch penalty
     (positive).  Returns int32[P, 6]: score qle tle gtle gscore max_off."""
+    return _bsw_dp(q, t, qlen, tlen, h0, w_in, mat_a, mat_b, o_del, e_del,
+                   o_ins, e_ins, zdrop, end_bonus, max_sc)
+
+
+@partial(jax.jit, static_argnums=(10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20))
+def bsw_desc_kernel(ref, enc, qoff, qdir, qlen, toff, tdir, tlen, h0, w_in,
+                    Qmax: int, Tmax: int, mat_a: int, mat_b: int,
+                    o_del: int, e_del: int, o_ins: int, e_ins: int,
+                    zdrop: int, end_bonus: int, max_sc: int):
+    """Banded SW extension from DESCRIPTORS: sequences are gathered on
+    device from the resident doubled-genome `ref` (uint8[2*l_pac], absolute
+    toff/tdir walk) and the padded read grid `enc` (int8[N, L]; qoff is the
+    flattened row*L+col start, qdir the walk direction — left extensions
+    walk -1, mirroring the reference's reversed SoA copies,
+    bwamem.cpp:2206-2434).  Only ~40 bytes/pair cross the host->device link
+    instead of the padded sequence tiles."""
+    N, L = enc.shape
+    enc_flat = enc.reshape(-1).astype(I32)
+    jidx = jnp.arange(Qmax, dtype=I32)[None, :]
+    qpos = qoff[:, None] + qdir[:, None] * jidx
+    q = jnp.where(jidx < qlen[:, None],
+                  enc_flat[jnp.clip(qpos, 0, N * L - 1)], 4)
+    iidx = jnp.arange(Tmax, dtype=jnp.int64)[None, :]
+    tpos = toff[:, None] + tdir[:, None].astype(jnp.int64) * iidx
+    t = jnp.where(iidx < tlen[:, None],
+                  ref[jnp.clip(tpos, 0, ref.shape[0] - 1)].astype(I32), 4)
+    return _bsw_dp(q, t, qlen, tlen, h0, w_in, mat_a, mat_b, o_del, e_del,
+                   o_ins, e_ins, zdrop, end_bonus, max_sc)
+
+
+def _bsw_dp(q, t, qlen, tlen, h0, w_in, mat_a, mat_b,
+            o_del: int, e_del: int, o_ins: int, e_ins: int,
+            zdrop: int, end_bonus: int, max_sc: int):
     P, Qmax = q.shape
     Tmax = t.shape[1]
     q = q.astype(I32)
@@ -185,11 +218,29 @@ BUCKETS = [(128, 256), (256, 608)]
 
 
 class DeviceBSW:
-    """Bucketed device dispatch for the extension pairs."""
+    """Bucketed device dispatch for the extension pairs.
+
+    When `encj` (the chunk's device-resident padded read grid) is attached
+    by the backend, pairs carrying descriptors run through bsw_desc_kernel
+    (sequences gathered on device); otherwise the materialized tiles are
+    uploaded (bsw_kernel) — the path the synthetic-pair tests use."""
 
     def __init__(self, dfm, opt):
+        import threading
+        self.dfm = dfm
         self.opt = opt
         self.max_sc = max(opt.a, 1)
+        # per-thread: pipeline workers process whole chunks concurrently,
+        # each with its own device-resident read grid
+        self._tls = threading.local()
+
+    @property
+    def encj(self):
+        return getattr(self._tls, "encj", None)
+
+    @encj.setter
+    def encj(self, v):
+        self._tls.encj = v
 
     def _run(self, pending, w, opt, end_bonus):
         n = len(pending)
@@ -204,11 +255,40 @@ class DeviceBSW:
                     break
             else:
                 host_idx.append(i)
+        use_desc = self.encj is not None and all(
+            p.qdir != 0 for p in pending)
         for (Q, T), idxs in idx_by_bucket.items():
             if not idxs:
                 continue
             from . import bucket_pow2
             P = bucket_pow2(len(idxs), 128)
+            if use_desc:
+                L = self.encj.shape[1]
+                qoff = np.zeros((P,), np.int32)
+                qdir = np.zeros((P,), np.int32)
+                qlen = np.zeros((P,), np.int32)
+                toff = np.zeros((P,), np.int64)
+                tdir = np.zeros((P,), np.int32)
+                tlen = np.zeros((P,), np.int32)
+                h0 = np.zeros((P,), np.int32)
+                for r, i in enumerate(idxs):
+                    p = pending[i]
+                    qoff[r] = p.seqid * L + p.qoff
+                    qdir[r] = p.qdir
+                    qlen[r] = len(p.qer)
+                    toff[r] = p.toff
+                    tdir[r] = p.tdir
+                    tlen[r] = len(p.ref)
+                    h0[r] = p.h0
+                res = bsw_desc_kernel(
+                    self.dfm.ref, self.encj, jnp.asarray(qoff),
+                    jnp.asarray(qdir), jnp.asarray(qlen), jnp.asarray(toff),
+                    jnp.asarray(tdir), jnp.asarray(tlen), jnp.asarray(h0),
+                    jnp.full((P,), w, np.int32), Q, T,
+                    opt.a, opt.b, opt.o_del, opt.e_del, opt.o_ins,
+                    opt.e_ins, opt.zdrop, end_bonus, self.max_sc)
+                out[np.array(idxs)] = np.asarray(res)[: len(idxs)]
+                continue
             q = np.full((P, Q), 4, np.int8)
             t = np.full((P, T), 4, np.int8)
             qlen = np.zeros((P,), np.int32)

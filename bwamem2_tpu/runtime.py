@@ -19,32 +19,73 @@ from .utils.profiling import PROF
 
 def run_pipeline(aligner, ks1: FastxReader, ks2: FastxReader | None,
                  task_size: int, out, pes0=None, copy_comment=False,
-                 pipeline_depth: int = 2, verbose: int = 3) -> int:
-    """Stream chunks through the aligner; returns total reads processed."""
-    q: queue.Queue = queue.Queue(maxsize=max(pipeline_depth - 1, 0) or 1)
+                 pipeline_depth: int = 2, verbose: int = 3,
+                 n_workers: int = 2) -> int:
+    """Stream chunks through the aligner; returns total reads processed.
+
+    `n_workers` compute threads each process whole chunks: while one blocks
+    on the device (GIL released), the other runs the host-side python
+    (chaining / SAM finalization) — the TPU analog of the reference's
+    2-thread kt_pipeline overlap.  Chunk boundaries and per-chunk state
+    (pestat, n_processed bases) are fixed by the single reader, and the
+    writer emits strictly in chunk order, so output is bit-identical for
+    any worker count."""
+    q_in: queue.Queue = queue.Queue(maxsize=max(pipeline_depth, n_workers))
     done = object()
 
     def reader():
+        n = 0
+        idx = 0
         while True:
             reads = read_chunk(ks1, ks2, task_size)
             if not reads:
-                q.put(done)
+                for _ in range(max(n_workers, 1)):
+                    q_in.put(done)
                 return
             if not copy_comment:
                 for r in reads:
                     r.comment = None
-            q.put(reads)
+            q_in.put((idx, n, reads))
+            idx += 1
+            n += len(reads)
+
+    results: dict[int, list] = {}
+    res_lock = threading.Condition()
+    n_done_workers = [0]
+
+    def worker():
+        while True:
+            item = q_in.get()
+            if item is done:
+                with res_lock:
+                    n_done_workers[0] += 1
+                    res_lock.notify_all()
+                return
+            idx, base, reads = item
+            t0 = time.time()
+            aligner.process(reads, base, pes0=pes0)
+            with res_lock:
+                results[idx] = (reads, time.time() - t0)
+                res_lock.notify_all()
 
     t = threading.Thread(target=reader, daemon=True)
     t.start()
+    nw = max(n_workers, 1)
+    workers = [threading.Thread(target=worker, daemon=True)
+               for _ in range(nw)]
+    for w in workers:
+        w.start()
 
     n_processed = 0
+    next_idx = 0
     while True:
-        reads = q.get()
-        if reads is done:
-            break
-        t0 = time.time()
-        aligner.process(reads, n_processed, pes0=pes0)
+        with res_lock:
+            while next_idx not in results and n_done_workers[0] < nw:
+                res_lock.wait()
+            if next_idx not in results:
+                break  # all workers done and nothing pending
+            reads, dt = results.pop(next_idx)
+        next_idx += 1
         n_processed += len(reads)
         with PROF("write_output"):
             for r in reads:
@@ -53,8 +94,10 @@ def run_pipeline(aligner, ks1: FastxReader, ks2: FastxReader | None,
         if verbose >= 3:
             sys.stderr.write(
                 f"[M::pipeline] processed {len(reads)} reads in "
-                f"{time.time()-t0:.3f} sec (total {n_processed})\n")
+                f"{dt:.3f} sec (total {n_processed})\n")
     t.join()
+    for w in workers:
+        w.join()
     if verbose >= 3:
         PROF.report(total_reads=n_processed)
     return n_processed
