@@ -52,10 +52,22 @@ class AlnReg:
 
 
 def cal_max_gap(opt, qlen: int) -> int:
+    # memoized per qlen: called twice per seed plus per purge probe
+    try:
+        return opt._maxgap_cache[qlen]
+    except (AttributeError, KeyError):
+        pass
     l_del = int((qlen * opt.a - opt.o_del) / opt.e_del + 1.0)
     l_ins = int((qlen * opt.a - opt.o_ins) / opt.e_ins + 1.0)
-    l = max(max(l_del, l_ins), 1)
-    return min(l, opt.w << 1)
+    l = min(max(max(l_del, l_ins), 1), opt.w << 1)
+    try:
+        opt._maxgap_cache[qlen] = l
+    except AttributeError:
+        try:
+            opt._maxgap_cache = {qlen: l}
+        except Exception:
+            pass
+    return l
 
 
 @dataclass
