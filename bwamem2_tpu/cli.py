@@ -6,6 +6,7 @@ bwtindex.cpp:43-59) so existing command lines work unchanged.
 
 from __future__ import annotations
 
+import getopt
 import sys
 import time
 
@@ -303,7 +304,27 @@ def main_index(argv: list[str]) -> int:
     return 0
 
 
+def _fatal(msg: str) -> int:
+    """err_fatal-style clean failure (utils.h:42-47): one-line message on
+    stderr, nonzero exit, no traceback."""
+    sys.stderr.write(f"[E::main] {msg}\n")
+    return 1
+
+
 def main(argv: list[str] | None = None) -> int:
+    try:
+        return _main(argv)
+    except FileNotFoundError as e:
+        return _fatal(f"fail to open file '{e.filename or e}'")
+    except (ValueError, getopt.GetoptError) as e:
+        return _fatal(str(e))
+    except BrokenPipeError:
+        return 1
+    except KeyboardInterrupt:
+        return 130
+
+
+def _main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
         sys.stderr.write(
