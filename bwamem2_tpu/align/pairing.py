@@ -113,9 +113,28 @@ def pestat(opt, l_pac: int, regs_per_read, verbose: int = 3) -> list[PEStat]:
     return pes
 
 
+def matesw_window(opt, pes, r: int, a_rb: int, l_ms: int,
+                  l_pac: int) -> tuple[int, int, bool]:
+    """Rescue window geometry for orientation r (mem_matesw's rb/re)."""
+    is_rev = (r >> 1) != (r & 1)
+    is_larger = not (r >> 1)
+    if not is_rev:
+        rb = a_rb + pes[r].low if is_larger else a_rb - pes[r].high
+        re = (a_rb + pes[r].high if is_larger else a_rb - pes[r].low) + l_ms
+    else:
+        rb = (a_rb + pes[r].low if is_larger else a_rb - pes[r].high) - l_ms
+        re = a_rb + pes[r].high if is_larger else a_rb - pes[r].low
+    return max(rb, 0), min(re, l_pac << 1), is_rev
+
+
 def matesw(fm: FMIndex, opt, pes: list[PEStat], a: AlnReg, l_ms: int,
-           ms: np.ndarray, ma: list[AlnReg]) -> int:
-    """Mate rescue around one anchor hit (mem_matesw)."""
+           ms: np.ndarray, ma: list[AlnReg], rescue: dict | None = None,
+           rkey: tuple | None = None) -> int:
+    """Mate rescue around one anchor hit (mem_matesw).
+
+    When `rescue` holds a pre-batched device result for (rkey..., r) the
+    SW call is skipped (mem_sam_pe_batch consumption, bwamem_pair.cpp:713);
+    results are bit-identical either way."""
     l_pac = fm.l_pac
     skip = [p.failed != 0 for p in pes]
     for reg in ma:
@@ -129,32 +148,27 @@ def matesw(fm: FMIndex, opt, pes: list[PEStat], a: AlnReg, l_ms: int,
     for r in range(4):
         if skip[r]:
             continue
-        is_rev = (r >> 1) != (r & 1)
-        is_larger = not (r >> 1)
-        if is_rev:
-            seq = np.array([3 - int(c) if c < 4 else 4 for c in ms[::-1]],
-                           np.uint8)
-        else:
-            seq = ms
-        if not is_rev:
-            rb = a.rb + pes[r].low if is_larger else a.rb - pes[r].high
-            re = (a.rb + pes[r].high if is_larger else a.rb - pes[r].low) + l_ms
-        else:
-            rb = (a.rb + pes[r].low if is_larger else a.rb - pes[r].high) - l_ms
-            re = a.rb + pes[r].high if is_larger else a.rb - pes[r].low
-        rb = max(rb, 0)
-        re = min(re, l_pac << 1)
+        rb, re, is_rev = matesw_window(opt, pes, r, a.rb, l_ms, l_pac)
         rid = -1
         ref = None
         if rb < re:
             ref, rid, rb, re = fm.fetch_seq(rb, (rb + re) >> 1, re)
         if a.rid == rid and re - rb >= opt.min_seed_len:
-            xtra = (KSW_XSUBO | KSW_XSTART
-                    | (KSW_XBYTE if l_ms * opt.a < 250 else 0)
-                    | (opt.min_seed_len * opt.a))
-            score, te, qe, score2, te2, tb, qb = ksw_align(
-                seq, np.ascontiguousarray(ref), mat, opt.o_del, opt.e_del,
-                opt.o_ins, opt.e_ins, xtra)
+            res = rescue.get(rkey + (r,)) if rescue is not None else None
+            if res is None:
+                if is_rev:
+                    seq = np.array(
+                        [3 - int(c) if c < 4 else 4 for c in ms[::-1]],
+                        np.uint8)
+                else:
+                    seq = ms
+                xtra = (KSW_XSUBO | KSW_XSTART
+                        | (KSW_XBYTE if l_ms * opt.a < 250 else 0)
+                        | (opt.min_seed_len * opt.a))
+                res = ksw_align(
+                    seq, np.ascontiguousarray(ref), mat, opt.o_del,
+                    opt.e_del, opt.o_ins, opt.e_ins, xtra)
+            score, te, qe, score2, te2, tb, qb = (int(v) for v in res)
             if score >= opt.min_seed_len and qb >= 0:
                 b = AlnReg(rid=a.rid, is_alt=a.is_alt, score=score,
                            csub=score2, secondary=-1)
@@ -174,6 +188,82 @@ def matesw(fm: FMIndex, opt, pes: list[PEStat], a: AlnReg, l_ms: int,
         if n:
             ma[:] = fin.sort_dedup_patch(fm, opt, None, ma)
     return n
+
+
+def batch_rescue_pre(fm: FMIndex, opt, pes, regs_per_read, encs,
+                     L: int) -> tuple[dict, list]:
+    """Collect every mate-rescue SW problem of a chunk up front
+    (mem_sam_pe_batch_pre / mem_matesw_batch_pre, bwamem_pair.cpp:553-602,
+    930-1093): a SUPERSET keyed (pair_idx, end, anchor_j, r) — the
+    sequential skip rules in matesw only grow as rescued hits are inserted,
+    so problems skipped at runtime simply leave their batch result unused.
+
+    Returns (descriptor dict for ops.kswv.DeviceKswv.align_batch, keys)."""
+    l_pac = fm.l_pac
+    keys: list[tuple] = []
+    qoff, qdir, qcomp, qlen = [], [], [], []
+    toff, tlen, u8 = [], [], []
+    if opt.flag & MEM_F_NO_RESCUE or all(p.failed for p in pes):
+        return {}, []
+    for p in range(len(encs) >> 1):
+        a = [regs_per_read[p << 1], regs_per_read[p << 1 | 1]]
+        if not a[0] and not a[1]:
+            continue
+        b = rescue_anchors(opt, a)
+        for i in range(2):
+            mate_row = (p << 1) | (not i)
+            l_ms = len(encs[mate_row])
+            for j, breg in enumerate(b[i]):
+                if j >= opt.max_matesw:
+                    break
+                skip = [pe.failed != 0 for pe in pes]
+                for reg in a[not i]:
+                    r, dist = infer_dir(l_pac, breg.rb, reg.rb)
+                    if pes[r].low <= dist <= pes[r].high:
+                        skip[r] = True
+                for r in range(4):
+                    if skip[r]:
+                        continue
+                    rb, re, is_rev = matesw_window(opt, pes, r, breg.rb,
+                                                   l_ms, l_pac)
+                    if rb >= re:
+                        continue
+                    _, rid, rb, re = fm.fetch_seq(rb, (rb + re) >> 1, re)
+                    if breg.rid != rid or re - rb < opt.min_seed_len:
+                        continue
+                    keys.append((p, i, j, r))
+                    qoff.append(mate_row * L + (l_ms - 1 if is_rev else 0))
+                    qdir.append(-1 if is_rev else 1)
+                    qcomp.append(is_rev)
+                    qlen.append(l_ms)
+                    toff.append(rb)
+                    tlen.append(re - rb)
+                    u8.append(l_ms * opt.a < 250)
+    if not keys:
+        return {}, []
+    desc = dict(qoff=np.array(qoff, np.int32),
+                qdir=np.array(qdir, np.int32),
+                qcomp=np.array(qcomp, bool),
+                qlen=np.array(qlen, np.int32),
+                toff=np.array(toff, np.int64),
+                tlen=np.array(tlen, np.int32),
+                u8=np.array(u8, bool))
+
+    def enc_host(i, ql):
+        p, end, j, r = keys[i]
+        ms = encs[(p << 1) | (not end)]
+        if desc["qdir"][i] < 0:
+            return np.array([3 - int(c) if c < 4 else 4 for c in ms[::-1]],
+                            np.uint8)
+        return ms
+
+    def ref_host(i, tl):
+        t0 = int(desc["toff"][i])
+        return np.ascontiguousarray(fm.ref_string[t0: t0 + tl])
+
+    desc["enc_host"] = enc_host
+    desc["ref_host"] = ref_host
+    return desc, keys
 
 
 def mem_pair(fm: FMIndex, opt, pes: list[PEStat], a, read_id: int,
@@ -240,25 +330,37 @@ def raw_mapq(diff: int, a: int) -> int:
     return int(6.02 * diff / a + 0.499)
 
 
+def rescue_anchors(opt, a) -> list[list[AlnReg]]:
+    """Anchor candidates for mate rescue, snapshotted for BOTH ends before
+    any rescue mutates the other end's region list (bwamem_pair.cpp:380-385).
+    """
+    return [[reg for reg in a[i]
+             if reg.score >= a[i][0].score - opt.pen_unpaired]
+            if a[i] else [] for i in range(2)]
+
+
 def sam_pe(fm: FMIndex, opt, pes: list[PEStat], pair_id: int, reads, encs,
-           regs2, rg_id=None) -> int:
-    """mem_sam_pe: rescue + pair + SAM for one read pair."""
+           regs2, rg_id=None, rescue: dict | None = None,
+           pair_idx: int | None = None) -> int:
+    """mem_sam_pe: rescue + pair + SAM for one read pair.
+
+    `rescue` is the chunk-wide pre-batched device SW cache keyed
+    (pair_idx, end, anchor_j, r) — mem_sam_pe_batch_post's consumption
+    (bwamem_pair.cpp:713); absent entries run the native scalar kernel."""
     s = reads
     a = regs2
     n = 0
     extra_flag = 1
     if not (opt.flag & MEM_F_NO_RESCUE):
-        # anchor candidates are snapshotted for BOTH ends before any rescue
-        # mutates the other end's region list (bwamem_pair.cpp:380-385)
-        b = [[reg for reg in a[i]
-              if reg.score >= a[i][0].score - opt.pen_unpaired]
-             if a[i] else [] for i in range(2)]
+        b = rescue_anchors(opt, a)
         for i in range(2):
             for j, breg in enumerate(b[i]):
                 if j >= opt.max_matesw:
                     break
                 n += matesw(fm, opt, pes, breg, len(encs[not i]),
-                            encs[not i], a[not i])
+                            encs[not i], a[not i], rescue=rescue,
+                            rkey=(pair_idx, i, j) if rescue is not None
+                            else None)
     n_pri = [0, 0]
     for i in range(2):
         a[i], n_pri[i] = fin.mark_primary(opt, a[i], (pair_id << 1) | i)

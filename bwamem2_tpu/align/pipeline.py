@@ -101,12 +101,28 @@ class Aligner:
                 pes = pes0 if pes0 is not None else pairing.pestat(
                     self.opt, self.fm.l_pac, regs_per_read,
                     verbose=self.verbose)
+            # batch every rescue SW of the chunk on device up front
+            # (mem_sam_pe_batch_{pre,post} analog); scalar path otherwise
+            rescue = None
+            if (self.backend is not None
+                    and getattr(self.backend, "read_grid_width",
+                                lambda: 0)() > 0):
+                with PROF("matesw"):
+                    desc, keys = pairing.batch_rescue_pre(
+                        self.fm, self.opt, pes, regs_per_read, encs,
+                        self.backend.read_grid_width())
+                    if keys:
+                        out = self.backend.rescue_batch(desc)
+                        if out is not None:
+                            rescue = {k: out[j]
+                                      for j, k in enumerate(keys)}
             with PROF("pairing"):
                 for i in range(0, len(reads), 2):
                     pairing.sam_pe(self.fm, self.opt, pes,
                                    (n_processed >> 1) + (i >> 1),
                                    reads[i:i + 2], encs[i:i + 2],
-                                   regs_per_read[i:i + 2], self.rg_id)
+                                   regs_per_read[i:i + 2], self.rg_id,
+                                   rescue=rescue, pair_idx=i >> 1)
         else:
             with PROF("finalize.sam"):
                 self.kernel3_se(reads, encs, regs_per_read, n_processed)

@@ -57,6 +57,7 @@ class DeviceBackend:
         self.bucket = bucket
         self.use_device_bsw = use_device_bsw
         self._bsw = None
+        self._kswv = None
         if use_device_bsw:
             from .bsw import DeviceBSW
             self._bsw = DeviceBSW(self.dfm, opt)
@@ -223,6 +224,24 @@ class DeviceBackend:
             per_read[int(rids[i])].append(
                 (int(rids[i]), int(m_abs[j]), int(n_abs[j]), int(fk[j]), 0,
                  int(fs[j])))
+
+    # ------------------------------------------------------------------
+    # batched mate-rescue SW (kswv analog)
+    # ------------------------------------------------------------------
+    def read_grid_width(self) -> int:
+        encj = self._bsw.encj if self._bsw is not None else None
+        return 0 if encj is None else int(encj.shape[1])
+    def rescue_batch(self, desc: dict) -> np.ndarray | None:
+        """Score a chunk's pre-collected rescue problems on device against
+        this chunk's read grid; None when no grid is attached (oracle path
+        or no chunk in flight on this thread)."""
+        encj = self._bsw.encj if self._bsw is not None else None
+        if encj is None:
+            return None
+        if self._kswv is None:
+            from .kswv import DeviceKswv
+            self._kswv = DeviceKswv(self.dfm, self.opt)
+        return self._kswv.align_batch(encj, desc)
 
     # ------------------------------------------------------------------
     # batched SA lookup

@@ -1,0 +1,300 @@
+"""Batched mate-rescue Smith-Waterman on device (kswv analog).
+
+The reference batches paired-end mate rescue through an AVX-512 kswv kernel
+(kswv.cpp:164-1100, two-phase: score/end then reversed start, driven by
+mem_sam_pe_batch, bwamem_pair.cpp:612-711); its non-AVX512 builds (and our
+golden scalar path) run the striped Farrar ksw_align per problem
+(ksw.cpp:347-381; lane-exact emulation in native/core.cpp).  This module
+scores the same rescue problems batched on the TPU, one problem per vector
+lane, with outputs BIT-IDENTICAL to the native scalar kernel (tested).
+
+Exactness requires emulating the striped (P=16 u8 lanes) implementation,
+not the textbook DP, because its quirks are output-visible:
+
+- the main pass computes each cell with only the INTRA-STRIPE gap-in-query
+  (F) contribution — F resets at every stripe boundary (stripe length
+  slen = ceil(qlen/16)); the lazy-F fixup then raises H to the true DP
+  value, but E for the next row was already fed from the PRE-fixup cell;
+- the per-row maximum used for score/te/score2 tracking is also pre-fixup;
+- u8 arithmetic saturates per operation (adds at 255 against a
+  shift-biased profile, subtracts at 0);
+- the query profile pads the query to 16*slen with score-0 columns that
+  PARTICIPATE in row maxima and the end-position scan.
+
+Both F recurrences unroll to prefix-max scans with linear decay (a gap
+opened from inside a gap is dominated, and the unsigned floor at 0 never
+wins a max against H >= 0):
+  pre-fixup F:  segmented cummax, segments keyed by stripe id j // slen,
+                realized as cummax(u + sid*HUGE) - sid*HUGE;
+  true F:       plain cummax.
+The striped diagonal feed (h = H0[slen-1] shifted one lane) is exactly the
+linear shift-by-one in query order.
+
+Second-best tracking replicates ksw's b-array: a row with max >= minsc
+merges into the previous entry only while its stored row (the row of the
+entry's last strict improvement) immediately precedes it; score2/te2 is the
+first-best entry outside te +- ceil(score/max_mat).
+
+u8 saturation (score 255) and 16-bit problems (l_ms * a >= 250) fall back
+to the native scalar kernel per lane — for short-read mate rescue the u8
+class covers everything, exactly like the reference's XBYTE selection
+(bwamem_pair.cpp / mem_matesw xtra).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+I32 = jnp.int32
+NEGBIG = jnp.int32(-(1 << 24))
+HUGE = jnp.int32(1 << 22)
+
+
+@partial(jax.jit, static_argnums=(11, 12, 13, 14, 15, 16, 17, 18, 19))
+def kswv_u8_kernel(ref, enc, qoff, qdir, qcomp, qlen, toff, tdir, tlen,
+                   endsc, do_lane,
+                   Qmax: int, Tmax: int, minsc: int, mat_a: int, mat_b: int,
+                   o_del: int, e_del: int, o_ins: int, e_ins: int):
+    """One phase of batched striped-u8 local SW from descriptors.
+
+    qoff int32[P]: flattened read-grid index of the first query char;
+    qdir/qcomp: walk direction and complement flag (reverse-complemented
+    mates); toff int64[P] + tdir int32[P]: absolute walk in the doubled
+    genome (phase 1 walks backward from the phase-0 end); endsc int32[P]:
+    XSTOP threshold (break when reached; 1<<16 = none); minsc: XSUBO
+    second-best floor (1<<16 = none, phase 1).
+
+    Returns int32[P, 6]: score, te, qe, score2, te2, saturated."""
+    P = qoff.shape[0]
+    N, L = enc.shape
+    shift = max(mat_b, 1)           # -min(mat): mismatch/ambig penalty
+    maxsc = max(mat_a, 1)
+    oe_del = o_del + e_del
+    oe_ins = o_ins + e_ins
+
+    enc_flat = enc.reshape(-1).astype(I32)
+    cols = jnp.arange(Qmax, dtype=I32)[None, :]             # (1, Qmax)
+    qpos = qoff[:, None] + qdir[:, None] * cols
+    qc = enc_flat[jnp.clip(qpos, 0, N * L - 1)]
+    qc = jnp.where(qcomp[:, None] & (qc < 4), 3 - qc, qc)
+    qc = jnp.where(cols < qlen[:, None], qc, jnp.int32(5))  # 5 = pad col
+    slen = (qlen + 15) >> 4                                  # ceil(qlen/16)
+    qpad = slen << 4
+    valid = cols < qpad[:, None]                             # striped cols
+    sid = jnp.where(valid, cols // jnp.maximum(slen, 1)[:, None], 0)
+
+    H = jnp.zeros((P, Qmax), I32)
+    E = jnp.zeros((P, Qmax), I32)
+    Hmax = jnp.zeros((P, Qmax), I32)
+    rowmax = jnp.zeros((P, Tmax), I32)
+    gmax = jnp.zeros((P,), I32)
+    te = jnp.full((P,), -1, I32)
+    rowstop = jnp.where(do_lane, tlen, 0).astype(I32)
+    alive = do_lane & (tlen > 0)
+
+    def row_body(i, st):
+        H, E, Hmax, rowmax, gmax, te, rowstop, alive = st
+        act = alive & (i < tlen)
+        tpos = toff + tdir.astype(jnp.int64) * i
+        ti = ref[jnp.clip(tpos, 0, ref.shape[0] - 1)].astype(I32)
+        # match score vs profile (pad cols score 0, ambig/N scores -1)
+        s = jnp.where(qc == 5, 0,
+                      jnp.where((ti[:, None] >= 4) | (qc >= 4), -1,
+                                jnp.where(ti[:, None] == qc, mat_a,
+                                          -mat_b)))
+        Hs = jnp.concatenate([jnp.zeros((P, 1), I32), H[:, :-1]], axis=1)
+        # M = subsu8(addsu8(h, mat+shift), shift)
+        M = jnp.maximum(jnp.minimum(Hs + s + shift, 255) - shift, 0)
+        base = jnp.maximum(M, E)
+        # pre-fixup cell: intra-stripe F only (segmented prefix max)
+        u = jnp.where(valid, base - oe_ins + cols * e_ins + sid * HUGE,
+                      NEGBIG)
+        useg = jax.lax.cummax(u, axis=1)
+        useg = jnp.concatenate([jnp.full((P, 1), NEGBIG, I32),
+                                useg[:, :-1]], axis=1)
+        fpre = useg - sid * HUGE - (cols - 1) * e_ins
+        hpre = jnp.where(valid, jnp.maximum(base, fpre), 0)
+        imax = jnp.max(jnp.where(valid, hpre, 0), axis=1)
+        # post-fixup cell: true F (plain prefix max)
+        ug = jnp.where(valid, base - oe_ins + cols * e_ins, NEGBIG)
+        ugm = jax.lax.cummax(ug, axis=1)
+        ugm = jnp.concatenate([jnp.full((P, 1), NEGBIG, I32),
+                               ugm[:, :-1]], axis=1)
+        hfin = jnp.where(valid, jnp.maximum(base, ugm - (cols - 1) * e_ins),
+                         0)
+        Enew = jnp.where(valid,
+                         jnp.maximum(jnp.maximum(E - e_del, 0),
+                                     jnp.maximum(hpre - oe_del, 0)), 0)
+        wr = act[:, None]
+        H = jnp.where(wr, hfin, H)
+        E = jnp.where(wr, Enew, E)
+        rowmax = jax.lax.dynamic_update_slice_in_dim(
+            rowmax, jnp.where(act, imax, 0)[:, None], i, axis=1)
+        upd = act & (imax > gmax)
+        gmax = jnp.where(upd, imax, gmax)
+        te = jnp.where(upd, i, te)
+        Hmax = jnp.where(upd[:, None], hfin, Hmax)
+        brk = upd & ((gmax + shift >= 255) | (gmax >= endsc))
+        rowstop = jnp.where(brk, i + 1, rowstop)
+        alive = alive & ~brk
+        return H, E, Hmax, rowmax, gmax, te, rowstop, alive
+
+    st = (H, E, Hmax, rowmax, gmax, te, rowstop, alive)
+    H, E, Hmax, rowmax, gmax, te, rowstop, alive = jax.lax.fori_loop(
+        0, Tmax, row_body, st)
+
+    saturated = (gmax + shift >= 255) & do_lane
+    score = jnp.where(saturated, 255, gmax)
+    # qe: min query position among Hmax == max (incl. pad columns)
+    hm = jnp.where(valid, Hmax, -1)
+    mx = jnp.max(hm, axis=1)
+    qe = jnp.min(jnp.where(hm == mx[:, None], cols, Qmax + 1), axis=1)
+    qe = jnp.where(do_lane & (te >= 0), qe, -1)
+
+    # ---- second-best scan over the recorded row maxima (b-array) ----
+    i2 = (score + maxsc - 1) // maxsc
+    low = te - i2
+    high = te + i2
+    have = jnp.zeros((P,), bool)
+    val = jnp.zeros((P,), I32)
+    row = jnp.full((P,), -2, I32)
+    best2 = jnp.full((P,), -1, I32)
+    te2 = jnp.full((P,), -1, I32)
+
+    def flush(have, val, row, best2, te2, cond):
+        hit = cond & have & ((row < low) | (row > high)) & (val > best2)
+        return jnp.where(hit, val, best2), jnp.where(hit, row, te2)
+
+    def b_body(i, st):
+        have, val, row, best2, te2 = st
+        rm = jax.lax.dynamic_slice_in_dim(rowmax, i, 1, axis=1)[:, 0]
+        rec = (i < rowstop) & (rm >= minsc)
+        merge = rec & have & (row + 1 == i)
+        improve = merge & (rm > val)
+        start = rec & ~merge
+        best2, te2 = flush(have, val, row, best2, te2, start)
+        val = jnp.where(improve | start, rm, val)
+        row = jnp.where(improve | start, i, row)
+        have = have | rec
+        return have, val, row, best2, te2
+
+    if minsc <= 0xFFFF:
+        have, val, row, best2, te2 = jax.lax.fori_loop(
+            0, Tmax, b_body, (have, val, row, best2, te2))
+        best2, te2 = flush(have, val, row, best2, te2,
+                           jnp.ones((P,), bool))
+        best2 = jnp.where(do_lane, best2, -1)
+        te2 = jnp.where(do_lane, te2, -1)
+        # KswResult inits score2 = -1 but the scan guard is `> r.score2`
+        # with r.score2 starting at -1; entries with value 0 can win
+        best2 = jnp.where(best2 < 0, -1, best2)
+    else:
+        best2 = jnp.full((P,), -1, I32)
+        te2 = jnp.full((P,), -1, I32)
+
+    return jnp.stack([score, te, qe, best2, te2,
+                      saturated.astype(I32)], axis=1)
+
+
+class DeviceKswv:
+    """Two-phase batched mate-rescue SW (mem_sam_pe_batch analog).
+
+    align_batch() takes per-problem descriptors into the device-resident
+    read grid + doubled genome and returns the native ksw_align 7-tuple
+    (score te qe score2 te2 tb qb) per problem, bit-identical to the
+    scalar path; 16-bit problems and u8-saturated lanes are re-run on the
+    native kernel."""
+
+    def __init__(self, dfm, opt):
+        self.dfm = dfm
+        self.opt = opt
+        self.minsc = opt.min_seed_len * opt.a
+
+    def align_batch(self, encj, desc: dict) -> np.ndarray:
+        """desc arrays (length n): qoff (flat read-grid index), qdir,
+        qcomp, qlen, toff (abs), tlen; u8 (bool: XBYTE class).
+        Returns int32[n, 7]."""
+        from . import bucket_pow2, round_up
+        n = len(desc["qoff"])
+        out = np.zeros((n, 7), np.int32)
+        out[:, 1:] = -1
+        opt = self.opt
+        dev = np.nonzero(desc["u8"])[0]
+        host_idx = set(np.nonzero(~desc["u8"])[0].tolist())
+        if len(dev):
+            P = bucket_pow2(len(dev), 64)
+            Qmax = round_up(int(desc["qlen"][dev].max(initial=1)), 16)
+            Tmax = round_up(int(desc["tlen"][dev].max(initial=1)), 32)
+
+            def pad(a, dt, fill=0):
+                v = np.full((P,), fill, dt)
+                v[: len(dev)] = a[dev]
+                return jnp.asarray(v)
+
+            qoff = pad(desc["qoff"], np.int32)
+            qdir = pad(desc["qdir"], np.int32, 1)
+            qcomp = pad(desc["qcomp"], bool)
+            qlen = pad(desc["qlen"], np.int32)
+            toff = pad(desc["toff"], np.int64)
+            tlen = pad(desc["tlen"], np.int32)
+            do = np.zeros((P,), bool)
+            do[: len(dev)] = True
+            doj = jnp.asarray(do)
+            ones = jnp.ones((P,), I32)
+            r0 = kswv_u8_kernel(
+                self.dfm.ref, encj, qoff, qdir, qcomp, qlen, toff,
+                ones, tlen, ones * (1 << 16), doj,
+                Qmax, Tmax, self.minsc, opt.a, opt.b,
+                opt.o_del, opt.e_del, opt.o_ins, opt.e_ins)
+            # phase 1: reversed prefixes, stop at the phase-0 score
+            score = r0[:, 0]
+            te = r0[:, 1]
+            qe = r0[:, 2]
+            sat = r0[:, 5] > 0
+            want = doj & ~sat & (score >= self.minsc) & (te >= 0) & (qe >= 0)
+            r1 = kswv_u8_kernel(
+                self.dfm.ref, encj,
+                qoff + qdir * qe, -qdir, qcomp,
+                jnp.where(want, qe + 1, 0),
+                toff + te.astype(jnp.int64), -ones,
+                jnp.where(want, te + 1, 0),
+                score, want,
+                Qmax, Tmax, 1 << 16, opt.a, opt.b,
+                opt.o_del, opt.e_del, opt.o_ins, opt.e_ins)
+            r0h, r1h = jax.device_get((r0, r1))
+            nb = len(dev)
+            res = np.zeros((nb, 7), np.int32)
+            res[:, 0] = r0h[:nb, 0]
+            res[:, 1] = r0h[:nb, 1]
+            res[:, 2] = r0h[:nb, 2]
+            res[:, 3] = r0h[:nb, 3]
+            res[:, 4] = r0h[:nb, 4]
+            res[:, 5] = -1
+            res[:, 6] = -1
+            ok1 = (r1h[:nb, 0] == r0h[:nb, 0]) & (r0h[:nb, 0] >= self.minsc) \
+                & (r0h[:nb, 5] == 0) & (r0h[:nb, 1] >= 0) & (r0h[:nb, 2] >= 0)
+            res[ok1, 5] = r0h[:nb][ok1, 1] - r1h[:nb][ok1, 1]
+            res[ok1, 6] = r0h[:nb][ok1, 2] - r1h[:nb][ok1, 2]
+            out[dev] = res
+            # saturated lanes: exact via native (score==255 -> i16 rerun)
+            host_idx.update(dev[np.nonzero(r0h[:nb, 5])[0]].tolist())
+        if host_idx:
+            from ..native import ksw_align
+            KSW_XBYTE, KSW_XSTOP = 0x10000, 0x20000
+            KSW_XSUBO, KSW_XSTART = 0x40000, 0x80000
+            enc_h = desc["enc_host"]
+            ref_h = desc["ref_host"]
+            mat = np.array(opt.mat, np.int8)
+            for i in sorted(host_idx):
+                ql = int(desc["qlen"][i])
+                q = enc_h(i, ql)
+                t = ref_h(i, int(desc["tlen"][i]))
+                xtra = (KSW_XSUBO | KSW_XSTART
+                        | (KSW_XBYTE if desc["u8"][i] else 0) | self.minsc)
+                out[i] = ksw_align(q, t, mat, opt.o_del, opt.e_del,
+                                   opt.o_ins, opt.e_ins, xtra)
+        return out

@@ -111,3 +111,92 @@ def test_end_to_end_device_backend_golden(fm, backend):
         golden = [l for l in f if not l.startswith("@")]
     ours = "".join(r.sam for r in reads).splitlines(keepends=True)
     assert ours == golden
+
+
+def test_device_kswv_matches_native(fm, backend):
+    """Batched striped-u8 rescue SW == native ksw_align on random windows."""
+    import jax.numpy as jnp
+    from bwamem2_tpu.native import ksw_align
+    from bwamem2_tpu.ops.kswv import DeviceKswv
+
+    opt = MemOptions().finalize()
+    rng = np.random.default_rng(23)
+    L = 128
+    n = 80
+    enc = np.full((n, L), 4, np.int8)
+    qoff = np.zeros(n, np.int32)
+    qdir = np.zeros(n, np.int32)
+    qcomp = np.zeros(n, bool)
+    qlen = np.zeros(n, np.int32)
+    toff = np.zeros(n, np.int64)
+    tlen = np.zeros(n, np.int32)
+    ref = fm.ref_string
+    for i in range(n):
+        ql = int(rng.integers(20, 102))
+        tl = int(rng.integers(30, 600))
+        tb = int(rng.integers(0, fm.l_pac - tl))
+        # half the queries sampled from the window (rescuable), half random
+        if i % 2 == 0:
+            q = ref[tb + 5: tb + 5 + ql].copy()
+            mut = rng.integers(0, ql, 3)
+            q[mut] = (q[mut] + 1) % 4
+        else:
+            q = rng.integers(0, 4, ql).astype(np.uint8)
+        if i % 7 == 0:
+            q[rng.integers(0, ql)] = 4  # an N
+        enc[i, :ql] = q
+        rev = i % 3 == 0
+        qoff[i] = i * L + (ql - 1 if rev else 0)
+        qdir[i] = -1 if rev else 1
+        qcomp[i] = rev
+        qlen[i] = ql
+        toff[i] = tb
+        tlen[i] = tl
+    desc = dict(qoff=qoff, qdir=qdir, qcomp=qcomp, qlen=qlen, toff=toff,
+                tlen=tlen, u8=np.ones(n, bool))
+    kw = DeviceKswv(backend.dfm, opt)
+    got = kw.align_batch(jnp.asarray(enc), desc)
+
+    mat = np.array(opt.mat, np.int8)
+    KSW_XBYTE, KSW_XSUBO, KSW_XSTART = 0x10000, 0x40000, 0x80000
+    for i in range(n):
+        ql = int(qlen[i])
+        q = enc[i, :ql].astype(np.uint8)
+        if qdir[i] < 0:
+            q = np.array([3 - c if c < 4 else 4 for c in q[::-1]], np.uint8)
+        t = np.ascontiguousarray(ref[toff[i]: toff[i] + tlen[i]])
+        want = ksw_align(q, t, mat, opt.o_del, opt.e_del, opt.o_ins,
+                         opt.e_ins,
+                         KSW_XSUBO | KSW_XSTART | KSW_XBYTE
+                         | (opt.min_seed_len * opt.a))
+        assert got[i].tolist() == list(want), (i, got[i].tolist(), want)
+
+
+def test_end_to_end_pe_device_backend_golden(fm, backend):
+    """PE with the device backend (incl. batched mate rescue) == golden."""
+    from bwamem2_tpu.options import MEM_F_PE
+
+    opt = MemOptions()
+    opt.flag |= MEM_F_PE
+    opt = opt.finalize()
+    reads = read_chunk(FastxReader(os.path.join(DATA, "reads_r1.fq")),
+                       FastxReader(os.path.join(DATA, "reads_r2.fq")), 10**9)
+    from bwamem2_tpu.ops.backend import DeviceBackend
+    be = DeviceBackend(fm, opt)
+    import bwamem2_tpu.align.pairing as pairing
+    n_batched = [0]
+    orig = pairing.batch_rescue_pre
+    def spy(*a, **k):
+        desc, keys = orig(*a, **k)
+        n_batched[0] += len(keys)
+        return desc, keys
+    pairing.batch_rescue_pre = spy
+    try:
+        Aligner(fm, opt, backend=be, verbose=0).process(reads, 0)
+    finally:
+        pairing.batch_rescue_pre = orig
+    with open(os.path.join(FIXTURES, "golden_pe.sam")) as f:
+        golden = [l for l in f if not l.startswith("@")]
+    ours = "".join(r.sam for r in reads).splitlines(keepends=True)
+    assert ours == golden
+    assert n_batched[0] > 0, "batched rescue path did not fire"
