@@ -22,7 +22,9 @@ from .salookup import sa_lookup_kernel
 from .smem import (round1_compact_kernel, round2_backward_kernel,
                    round2_forward_kernel, round3_replay_kernel)
 
-ROUND2_MAX_CAND = 64
+ROUND2_MAX_CAND = 24  # distinct interval sizes along one forward path:
+# observed max 15 on 100kb/4.6Mb genomes, ~log(genome); overflow pivots
+# fall back to the exact host oracle
 ROUND1_CAP = 24   # compact SMEM slots per read; overflow -> host oracle
 
 

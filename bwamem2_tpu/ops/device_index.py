@@ -36,6 +36,10 @@ from ..index.fmindex import FMIndex
 @dataclass
 class DeviceFMIndex:
     occ4: jax.Array       # int32[nblocks, 16]
+    occ1: jax.Array       # int32[nblocks*4, 4] per-(block,char) rows
+    #                       [cp_lo, cp_hi, oh_hi, oh_lo] — a narrower gather
+    #                       for the single-char hot path; built only for
+    #                       genomes < OCC1_MAX_PAC bp (doubles table memory)
     counts: jax.Array     # int64[5]
     sa_ms: jax.Array      # int32[(n>>3)+1] (sign-extended from int8)
     sa_ls: jax.Array      # uint32[(n>>3)+1]
@@ -44,8 +48,10 @@ class DeviceFMIndex:
     lut_k: jax.Array      # int64[4^K] K-mer interval starts (or size-1 dummy)
     lut_s: jax.Array      # int64[4^K] K-mer interval sizes
 
+    OCC1_MAX_PAC = 1 << 30
+
     def tree_flatten(self):
-        return ((self.occ4, self.counts, self.sa_ms, self.sa_ls,
+        return ((self.occ4, self.occ1, self.counts, self.sa_ms, self.sa_ls,
                  self.sentinel, self.ref, self.lut_k, self.lut_s), None)
 
     @classmethod
@@ -57,17 +63,22 @@ class DeviceFMIndex:
                   lut: tuple | None = None) -> "DeviceFMIndex":
         cp = fm.cp_count.astype(np.int64)
         oh = fm.one_hot
-        occ4 = np.concatenate([
-            (cp & 0xFFFFFFFF).astype(np.uint32).view(np.int32),
-            (cp >> 32).astype(np.int32),
-            (oh >> np.uint64(32)).astype(np.uint32).view(np.int32),
-            (oh & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32),
-        ], axis=1)
+        cp_lo = (cp & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+        cp_hi = (cp >> 32).astype(np.int32)
+        oh_hi = (oh >> np.uint64(32)).astype(np.uint32).view(np.int32)
+        oh_lo = (oh & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+        occ4 = np.concatenate([cp_lo, cp_hi, oh_hi, oh_lo], axis=1)
+        if fm.l_pac < cls.OCC1_MAX_PAC:
+            occ1 = np.stack([cp_lo, cp_hi, oh_hi, oh_lo],
+                            axis=2).reshape(-1, 4)
+        else:
+            occ1 = np.zeros((1, 4), np.int32)
         put = partial(jax.device_put, device=device)
         lut_k = lut[0] if lut else np.zeros(1, np.int64)
         lut_s = lut[1] if lut else np.zeros(1, np.int64)
         return cls(
             occ4=put(occ4),
+            occ1=put(occ1),
             counts=put(fm.counts.astype(np.int64)),
             sa_ms=put(fm.sa_ms_byte.astype(np.int32)),
             sa_ls=put(fm.sa_ls_word.astype(np.uint32)),
@@ -128,7 +139,20 @@ def _sel4(v, c):
 
 def occ_one(dfm: DeviceFMIndex, pos, c):
     """occ(pos, c) for one char per lane: # of c in BWT[0:pos).
-    One 64-byte row gather + select + two popcounts."""
+
+    Small genomes keep a per-(block,char) table so this is one 16-byte row
+    gather + two popcounts (W=4 gathers are ~15% faster than W=16 and move
+    4x fewer bytes); otherwise one 64-byte block row gather + selects."""
+    if dfm.occ1.shape[0] > 1:
+        blk = (pos >> 6).astype(jnp.int32)
+        y = (pos & 63).astype(jnp.int32)
+        row = dfm.occ1[(blk << 2) + c]
+        cp = (_u32(row[..., 0]).astype(jnp.int64)
+              + (row[..., 1].astype(jnp.int64) << 32))
+        mh, ml = _top_masks(y)
+        h = jax.lax.population_count(_u32(row[..., 2]) & mh)
+        l = jax.lax.population_count(_u32(row[..., 3]) & ml)
+        return cp + h.astype(jnp.int64) + l.astype(jnp.int64)
     cp, hi, lo, y = _row(dfm, pos)
     mh, ml = _top_masks(y)
     base = _sel4(cp, c)

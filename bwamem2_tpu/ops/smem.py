@@ -340,7 +340,7 @@ def round2_forward_kernel(dfm: DeviceFMIndex, enc: jax.Array,
     push_final = valid & (s >= min_intv)
     cands, ncand = push(cands, ncand, push_final, n, k, l, s)
     cand_n, cand_k, cand_l, cand_s = cands
-    return cand_n, cand_k, cand_l, cand_s, ncand
+    return cand_n.astype(jnp.int16), cand_k, cand_l, cand_s, ncand
 
 
 @partial(jax.jit, static_argnums=())
