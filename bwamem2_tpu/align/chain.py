@@ -26,7 +26,7 @@ MEM_SEEDSW_COEF = 0.05
 KSW_XBYTE, KSW_XSTOP, KSW_XSUBO, KSW_XSTART = 0x10000, 0x20000, 0x40000, 0x80000
 
 
-@dataclass
+@dataclass(slots=True)
 class Seed:
     rbeg: int
     qbeg: int
@@ -35,7 +35,7 @@ class Seed:
     aln: int = 0  # index of the alnreg produced from this seed
 
 
-@dataclass
+@dataclass(slots=True)
 class Chain:
     pos: int
     rid: int

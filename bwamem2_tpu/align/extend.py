@@ -25,7 +25,7 @@ MAX_BAND_TRY = 2
 H0_NULL = -99  # H0_ sentinel for "not yet extended" coordinates (macro.h:44)
 
 
-@dataclass
+@dataclass(slots=True)
 class AlnReg:
     rb: int = 0
     re: int = 0
@@ -70,7 +70,7 @@ def cal_max_gap(opt, qlen: int) -> int:
     return l
 
 
-@dataclass
+@dataclass(slots=True)
 class _Pair:
     """One extension problem (SeqPair analog, bandedSWA.h:90-99).
 

@@ -13,7 +13,7 @@ Mirrors (all in the reference's src/):
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as dc_replace
 
 import numpy as np
 
@@ -339,7 +339,7 @@ def reorder_primary5(T: int, a: list[AlnReg]) -> None:
 # AlnReg -> mem_aln_t (position + CIGAR)
 # ---------------------------------------------------------------------------
 
-@dataclass
+@dataclass(slots=True)
 class Aln:
     """mem_aln_t analog."""
     pos: int = -1
@@ -508,8 +508,8 @@ NT_CHR_RC = "TGCAN"
 def aln2sam(fm: FMIndex, opt, read, n: int, alns: list[Aln], which: int,
             m_: Aln | None, rg_id: str | None = None) -> str:
     """mem_aln2sam: one SAM line (bwamem.cpp:1592-1730)."""
-    p = Aln(**vars(alns[which]))
-    m = Aln(**vars(m_)) if m_ is not None else None
+    p = dc_replace(alns[which])
+    m = dc_replace(m_) if m_ is not None else None
     p.flag |= 0x1 if m else 0
     p.flag |= 0x4 if p.rid < 0 else 0
     p.flag |= 0x8 if (m and m.rid < 0) else 0

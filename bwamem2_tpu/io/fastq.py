@@ -12,7 +12,7 @@ from dataclasses import dataclass
 from ..index.io import open_maybe_gz
 
 
-@dataclass
+@dataclass(slots=True)
 class Read:
     name: str
     comment: str | None
