@@ -213,8 +213,9 @@ def _bsw_dp(q, t, qlen, tlen, h0, w_in, mat_a, mat_b,
     return out
 
 
-# buckets: (Qmax, Tmax); pairs beyond the last bucket go to the host kernel
-BUCKETS = [(128, 256), (256, 608)]
+# hard caps: pairs beyond this go to the host kernel (the reference's
+# scalar tail class); actual tile dims are the batch maxima rounded up
+QCAP, TCAP = 256, 608
 
 
 class DeviceBSW:
@@ -245,22 +246,23 @@ class DeviceBSW:
     def _run(self, pending, w, opt, end_bonus):
         n = len(pending)
         out = np.zeros((n, 6), np.int32)
-        idx_by_bucket = {b: [] for b in BUCKETS}
-        host_idx = []
-        for i, p in enumerate(pending):
-            ql, tl = len(p.qer), len(p.ref)
-            for (Q, T) in BUCKETS:
-                if ql <= Q and tl <= T:
-                    idx_by_bucket[(Q, T)].append(i)
-                    break
-            else:
-                host_idx.append(i)
+        qls = np.fromiter((len(p.qer) for p in pending), np.int32, n)
+        tls = np.fromiter((len(p.ref) for p in pending), np.int32, n)
+        fits = (qls <= QCAP) & (tls <= TCAP)
+        host_idx = np.nonzero(~fits)[0].tolist()
+        dev_idx = np.nonzero(fits)[0]
         use_desc = self.encj is not None and all(
             p.qdir != 0 for p in pending)
-        for (Q, T), idxs in idx_by_bucket.items():
-            if not idxs:
-                continue
-            from . import bucket_pow2
+        # one tile sized to the batch maxima: a single kernel dispatch per
+        # side instead of one per static bucket (DP rows = Tmax, so tight
+        # Tmax also trims the row loop)
+        from . import bucket_pow2, round_up
+        buckets = []
+        if len(dev_idx):
+            Q = round_up(int(qls[dev_idx].max()), 32)
+            T = round_up(int(tls[dev_idx].max()), 32)
+            buckets = [((Q, T), dev_idx.tolist())]
+        for (Q, T), idxs in buckets:
             P = bucket_pow2(len(idxs), 128)
             if use_desc:
                 L = self.encj.shape[1]
