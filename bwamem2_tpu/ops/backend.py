@@ -56,6 +56,9 @@ class DeviceBackend:
             self.lut_k_bits = K
             lut = (lk, ls)
         self.dfm = DeviceFMIndex.from_host(fm, device=device, lut=lut)
+        # int32 interval arithmetic is exact when the doubled genome fits
+        # (and implies the occ1 table exists)
+        self.small_index = fm.l_pac < DeviceFMIndex.OCC1_MAX_PAC
         self.bucket = bucket
         self.use_device_bsw = use_device_bsw
         self._bsw = None
@@ -86,7 +89,7 @@ class DeviceBackend:
         t0 = __import__("time").perf_counter()
         r1 = round1_compact_kernel(
             self.dfm, encj, lensj, self.lut_k_bits,
-            jnp.int32(opt.min_seed_len), ROUND1_CAP)
+            jnp.int32(opt.min_seed_len), ROUND1_CAP, self.small_index)
         r3 = None
         if opt.max_mem_intv > 0:
             msl_p1 = max(opt.min_seed_len + 1, 2)

@@ -161,6 +161,28 @@ def occ_one(dfm: DeviceFMIndex, pos, c):
     return base + h + l
 
 
+def occ_one32(dfm: DeviceFMIndex, pos, c):
+    """int32 occ(pos, c) for genomes whose doubled length fits int32:
+    the cp_hi limb is identically zero, so the count is the low int32 word
+    + popcounts — same gather, half the loop-state width for callers that
+    carry (k, s) through long walks."""
+    blk = (pos >> 6)
+    y = (pos & 63)
+    row = dfm.occ1[(blk << 2) + c]
+    mh, ml = _top_masks(y)
+    h = jax.lax.population_count(_u32(row[..., 2]) & mh).astype(jnp.int32)
+    l = jax.lax.population_count(_u32(row[..., 3]) & ml).astype(jnp.int32)
+    return row[..., 0] + h + l
+
+
+def lf_step32(dfm: DeviceFMIndex, counts32, k, s, a):
+    """lf_step with int32 interval arithmetic (see occ_one32); counts32 is
+    dfm.counts pre-cast by the caller."""
+    occ_sp = occ_one32(dfm, k, a)
+    occ_ep = occ_one32(dfm, k + s, a)
+    return take_counts(counts32, a) + occ_sp, occ_ep - occ_sp
+
+
 def occ_all4(dfm: DeviceFMIndex, pos):
     """occ(pos, c) for all 4 chars per lane -> (..., 4) int64.  One gather."""
     cp, hi, lo, y = _row(dfm, pos)

@@ -40,13 +40,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .device_index import (DeviceFMIndex, backward_ext_full, lf_step,
-                           take_counts)
+                           lf_step32, take_counts)
 
 I64 = jnp.int64
 
 
 def _round1_walk(dfm: DeviceFMIndex, enc: jax.Array, lens: jax.Array,
-                 lut_k: int):
+                 lut_k: int, small: bool = False):
     """Backward walk from every (read, end) lane until the interval empties.
 
     enc: int{8,32}[N, L] (4 = N/pad), lens: int32[N].
@@ -58,12 +58,19 @@ def _round1_walk(dfm: DeviceFMIndex, enc: jax.Array, lens: jax.Array,
     the precomputed K-mer interval, skipping lut_k LF steps (index/klut.py)."""
     N, L = enc.shape
     enc = enc.astype(jnp.int32)
+    # int32 intervals when the doubled genome fits (halves the loop-carried
+    # state so it stays VMEM-resident through the walk)
+    counts = dfm.counts.astype(jnp.int32) if small else dfm.counts
+    lut_kt = dfm.lut_k.astype(jnp.int32) if small else dfm.lut_k
+    lut_st = dfm.lut_s.astype(jnp.int32) if small else dfm.lut_s
+    step = ((lambda k, s, a: lf_step32(dfm, counts, k, s, a)) if small
+            else (lambda k, s, a: lf_step(dfm, k, s, a)))
     pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), (N, L))
     a0 = enc
     valid = (a0 < 4) & (pos < lens[:, None])
     a0c = jnp.where(valid, a0, 0).astype(jnp.int32)
-    k = take_counts(dfm.counts, a0c)
-    s = take_counts(dfm.counts, a0c, 1) - k
+    k = take_counts(counts, a0c)
+    s = take_counts(counts, a0c, 1) - k
     b = jnp.where(valid, pos, pos + 1)
     alive = valid
     use_lut = jnp.zeros((N, L), bool)
@@ -80,8 +87,8 @@ def _round1_walk(dfm: DeviceFMIndex, enc: jax.Array, lens: jax.Array,
             code = code + (sh << (2 * i))      # base^i for offset i from end
             nbad = nbad + bad
         use_lut = valid & (nbad == 0) & (pos >= lut_k - 1)
-        lk = dfm.lut_k[code]
-        ls = dfm.lut_s[code]
+        lk = lut_kt[code]
+        ls = lut_st[code]
         use_lut = use_lut & (ls > 0)
         k = jnp.where(use_lut, lk, k)
         s = jnp.where(use_lut, ls, s)
@@ -93,41 +100,76 @@ def _round1_walk(dfm: DeviceFMIndex, enc: jax.Array, lens: jax.Array,
     # So the per-step "char at col" is a static roll-by-1 of a carried
     # shifted copy of the read — NO gather (take_along_axis is a gather,
     # and gathers are ~100x a roll on TPU).
-    start_off = jnp.where(use_lut, jnp.int32(lut_k), jnp.int32(1))
-    c_nl = jnp.roll(enc, 1, axis=1)
-    c_lut = jnp.roll(enc, lut_k, axis=1) if lut_k else c_nl
+    #
+    # A lane's walk is at most its end position n, so at step t every
+    # column < t is dead: the loop runs as 4 phases that statically DROP
+    # the leading quarter of the columns at each boundary (their state is
+    # frozen), cutting total work from L^2 to 0.625*L^2 lane-steps
+    # regardless of the data.  (Rolling a narrowed slice wraps garbage
+    # into its leftmost column only, and that lane is provably dead.)
+    # the loop carry is kept as narrow as possible (int8 chars, int16
+    # coordinates, int32/int64 intervals) so its working set stays on-chip
+    start_off = jnp.where(use_lut, jnp.int32(lut_k), jnp.int32(1)) \
+        .astype(jnp.int8)
+    enc8 = enc.astype(jnp.int8)
+    c_nl = jnp.roll(enc8, 1, axis=1)
+    c_lut = jnp.roll(enc8, lut_k, axis=1) if lut_k else c_nl
+    b = b.astype(jnp.int16)
+    pos16 = pos.astype(jnp.int16)
 
-    def body(t, st):
-        alive, k, s, b, c_nl, c_lut = st
-        col = pos - start_off - t
-        c = jnp.where(use_lut, c_lut, c_nl)
-        ok = alive & (col >= 0) & (c < 4)
-        cc = jnp.where(ok, c, 0).astype(jnp.int32)
-        k2, s2 = lf_step(dfm, k, s, cc)
-        ext = ok & (s2 > 0)
-        k = jnp.where(ext, k2, k)
-        s = jnp.where(ext, s2, s)
-        b = jnp.where(ext, col, b)
-        c_nl = jnp.roll(c_nl, 1, axis=1)
-        c_lut = jnp.roll(c_lut, 1, axis=1) if lut_k else c_nl
-        return ext, k, s, b, c_nl, c_lut
+    cuts = sorted({0, L // 4, L // 2, (3 * L) // 4, L})
+    b_parts, k_parts, s_parts = [], [], []
+    st = (alive, k, s, b, c_nl, c_lut)
+    consts = (pos16, start_off, use_lut)
 
-    alive, k, s, b, _, _ = jax.lax.fori_loop(
-        0, L, body, (alive, k, s, b, c_nl, c_lut))
-    return b, k, s
+    def make_body(consts):
+        pos_p, so_p, ul_p = consts
+
+        def body2(t, st):
+            alive, k, s, b, c_nl, c_lut = st
+            col = (pos_p - so_p).astype(jnp.int32) - t
+            c = jnp.where(ul_p, c_lut, c_nl)
+            ok = alive & (col >= 0) & (c < 4)
+            cc = jnp.where(ok, c, 0).astype(jnp.int32)
+            k2, s2 = step(k, s, cc)
+            ext = ok & (s2 > 0)
+            k = jnp.where(ext, k2, k)
+            s = jnp.where(ext, s2, s)
+            b = jnp.where(ext, col.astype(jnp.int16), b)
+            c_nl = jnp.roll(c_nl, 1, axis=1)
+            c_lut = jnp.roll(c_lut, 1, axis=1) if lut_k else c_nl
+            return ext, k, s, b, c_nl, c_lut
+        return body2
+
+    for lo, hi in zip(cuts[:-1], cuts[1:]):
+        st = jax.lax.fori_loop(lo, hi, make_body(consts), st)
+        if hi < L:
+            drop = hi - lo
+            b_parts.append(st[3][:, :drop])
+            k_parts.append(st[1][:, :drop])
+            s_parts.append(st[2][:, :drop])
+            st = tuple(a[:, drop:] for a in st)
+            consts = tuple(a[:, drop:] for a in consts)
+    b_parts.append(st[3])
+    k_parts.append(st[1])
+    s_parts.append(st[2])
+    return (jnp.concatenate(b_parts, axis=1).astype(jnp.int32),
+            jnp.concatenate(k_parts, axis=1).astype(jnp.int64),
+            jnp.concatenate(s_parts, axis=1).astype(jnp.int64))
 
 
-@partial(jax.jit, static_argnums=(3,))
+@partial(jax.jit, static_argnums=(3, 4))
 def round1_kernel(dfm: DeviceFMIndex, enc: jax.Array, lens: jax.Array,
-                  lut_k: int = 0):
+                  lut_k: int = 0, small: bool = False):
     """Full-grid round-1 walk (see _round1_walk)."""
-    return _round1_walk(dfm, enc, lens, lut_k)
+    return _round1_walk(dfm, enc, lens, lut_k, small)
 
 
-@partial(jax.jit, static_argnums=(3, 5))
+@partial(jax.jit, static_argnums=(3, 5, 6))
 def round1_compact_kernel(dfm: DeviceFMIndex, enc: jax.Array,
                           lens: jax.Array, lut_k: int,
-                          min_seed_len: jax.Array, cap: int):
+                          min_seed_len: jax.Array, cap: int,
+                          small: bool = False):
     """Round-1 walk + on-device emission + per-read compaction.
 
     The (N, L) result grids never leave HBM: the SMEM emission rule
@@ -140,7 +182,7 @@ def round1_compact_kernel(dfm: DeviceFMIndex, enc: jax.Array,
     back for such reads), n int16[N,cap], b int16[N,cap], s int32[N,cap]
     (clamped), k int64[N,cap]."""
     N, L = enc.shape
-    b, k, s = _round1_walk(dfm, enc, lens, lut_k)
+    b, k, s = _round1_walk(dfm, enc, lens, lut_k, small)
     pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), (N, L))
     bnext = jnp.concatenate(
         [b[:, 1:], jnp.full((N, 1), L + 1, b.dtype)], axis=1)
