@@ -89,7 +89,7 @@ def main():
         ks = FastxReader(BENCH_FQ)
         t0 = time.time()
         n = run_pipeline(al, ks, None, task, devnull, verbose=0,
-                         n_workers=2)
+                         n_workers=3)
         assert n == N_READS
         return time.time() - t0
 

@@ -280,9 +280,13 @@ def main_mem(argv: list[str]) -> int:
                     shard[0], shard[1], pes0=pes0,
                     copy_comment=copy_comment, verbose=verbose)
     else:
+        # -t maps to chunk-pipeline compute workers (capped: host python
+        # saturates one GIL around 3-4); output is order-identical anyway
+        nw = 1 if no_mt_io else min(max(opt.n_threads, 2), 4)
         run_pipeline(aligner, ks1, ks2, task_size, out, pes0=pes0,
                      copy_comment=copy_comment,
-                     pipeline_depth=1 if no_mt_io else 2, verbose=verbose)
+                     pipeline_depth=1 if no_mt_io else 2, verbose=verbose,
+                     n_workers=nw)
     if out is not sys.stdout:
         out.close()
     sys.stderr.write(f"* done in {time.time()-t0:.1f}s\n")

@@ -24,8 +24,9 @@ reference's per-column emit/dedup rules reduce to: group candidates by death
 column; the longest candidate of each group emits (see ROUND2 NOTES in
 align/seeding.py's spec); survivors emit their longest.
 
-round 3: forward-only walks from every start; the data-dependent pivot chain
-(next_x = stop+1) is replayed on the host over the per-start results.
+round 3: the data-dependent pivot chain (forward-walk from x, emit at the
+first hit, next_x = stop+1) is replayed ON DEVICE with one lane per read
+(round3_replay_kernel).
 
 All kernels return fixed-shape arrays; the host assembles the exact SMEM
 tuple lists and verifies set-equality with the scalar oracle in tests.
