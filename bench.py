@@ -79,8 +79,8 @@ def main():
     backend = DeviceBackend(fm, opt)
     al = Aligner(fm, opt, backend=backend, verbose=0)
 
-    # production path: ordered chunk pipeline, 2 compute workers (host
-    # python of one chunk overlaps device waits of the other)
+    # production path: ordered chunk pipeline, 3 compute workers (host
+    # python of one chunk overlaps device waits of the others)
     from bwamem2_tpu.runtime import run_pipeline
     task = (N_READS * READ_LEN) // 4
     devnull = open(os.devnull, "w")

@@ -219,9 +219,13 @@ def main_mem(argv: list[str]) -> int:
     from .io.sam import pg_line, sam_header
     from .runtime import run_pipeline
 
-    (opt, mode, fixed_chunk_size, no_mt_io, rg_line, hdr_line, out_path,
-     copy_comment, ignore_alt, pes0, verbose, args, device_backend, shard,
-     out_dir) = parse_mem_args(argv)
+    try:
+        (opt, mode, fixed_chunk_size, no_mt_io, rg_line, hdr_line, out_path,
+         copy_comment, ignore_alt, pes0, verbose, args, device_backend,
+         shard, out_dir) = parse_mem_args(argv)
+    except ValueError as e:
+        # bad flag value: a usage error, not an internal failure
+        raise getopt.GetoptError(str(e))
     if len(args) not in (2, 3):
         sys.stderr.write(usage_mem(opt))
         return 1
@@ -282,7 +286,7 @@ def main_mem(argv: list[str]) -> int:
     else:
         # -t maps to chunk-pipeline compute workers (capped: host python
         # saturates one GIL around 3-4); output is order-identical anyway
-        nw = 1 if no_mt_io else min(max(opt.n_threads, 2), 4)
+        nw = 1 if no_mt_io else min(max(opt.n_threads, 1), 4)
         run_pipeline(aligner, ks1, ks2, task_size, out, pes0=pes0,
                      copy_comment=copy_comment,
                      pipeline_depth=1 if no_mt_io else 2, verbose=verbose,
@@ -320,7 +324,7 @@ def main(argv: list[str] | None = None) -> int:
         return _main(argv)
     except FileNotFoundError as e:
         return _fatal(f"fail to open file '{e.filename or e}'")
-    except (ValueError, getopt.GetoptError) as e:
+    except getopt.GetoptError as e:
         return _fatal(str(e))
     except BrokenPipeError:
         return 1

@@ -70,7 +70,15 @@ class DeviceBackend:
     # ------------------------------------------------------------------
     # SMEM collection (3 rounds)
     # ------------------------------------------------------------------
+    MAX_DEVICE_READ_LEN = 32000  # device kernels carry int16 coordinates
+
     def collect_smems(self, encs: list[np.ndarray], opt) -> list[list[tuple]]:
+        if max((len(e) for e in encs), default=0) > self.MAX_DEVICE_READ_LEN:
+            # ultra-long reads (pacbio/ont presets): the exact host oracle;
+            # the per-end device walk is O(L^2) and its compact outputs
+            # carry int16 coordinates
+            from ..align.seeding import collect_smems as host_collect
+            return host_collect(self.fm, encs, opt)
         enc, lens = _pad_reads(encs)
         N, L = enc.shape
         NR = len(encs)
@@ -93,7 +101,8 @@ class DeviceBackend:
         r3 = None
         if opt.max_mem_intv > 0:
             msl_p1 = max(opt.min_seed_len + 1, 2)
-            cap3 = L // (msl_p1 + 1) + 1
+            # each emit advances the pivot by >= msl_p1 columns
+            cap3 = L // msl_p1 + 1
             r3 = round3_replay_kernel(
                 self.dfm, encj, lensj, jnp.int64(opt.max_mem_intv),
                 jnp.int32(msl_p1), cap3)
@@ -151,7 +160,7 @@ class DeviceBackend:
 
     def _round2(self, encj, lens, pivots, opt, per_read, encs):
         NP = len(pivots)
-        P = bucket_pow2(NP, 64)
+        P = bucket_pow2(NP + 1, 64)  # slot P-1 stays a dead pad pivot
         L = encj.shape[1]
         rids = np.fromiter((p[0] for p in pivots), np.int32, NP)
         xs = np.fromiter((p[1] for p in pivots), np.int32, NP)

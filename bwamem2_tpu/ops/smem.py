@@ -204,23 +204,6 @@ def round1_compact_kernel(dfm: DeviceFMIndex, enc: jax.Array,
     return cnt, n_out, b_out, s_out, k_out
 
 
-def round1_emit(b, k, s, lens, min_seed_len):
-    """Host-side emission filter for round-1 lanes (NumPy)."""
-    b = np.asarray(b)
-    k = np.asarray(k)
-    s = np.asarray(s)
-    N, L = b.shape
-    pos = np.arange(L, dtype=np.int32)[None, :]
-    bnext = np.concatenate([b[:, 1:], np.full((N, 1), L + 1, np.int32)],
-                           axis=1)
-    # lanes past the read end must not block their neighbor
-    bnext = np.where(pos + 1 >= np.asarray(lens)[:, None], L + 1, bnext)
-    emit = ((b <= pos) & (b < bnext)
-            & (pos - b + 1 >= min_seed_len)
-            & (pos < np.asarray(lens)[:, None]))
-    return emit
-
-
 @partial(jax.jit, static_argnums=(5,))
 def round3_replay_kernel(dfm: DeviceFMIndex, enc: jax.Array,
                          lens: jax.Array, max_intv: jax.Array,

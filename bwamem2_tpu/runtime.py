@@ -53,6 +53,8 @@ def run_pipeline(aligner, ks1: FastxReader, ks2: FastxReader | None,
     res_lock = threading.Condition()
     n_done_workers = [0]
 
+    worker_err: list = []
+
     def worker():
         while True:
             item = q_in.get()
@@ -63,7 +65,14 @@ def run_pipeline(aligner, ks1: FastxReader, ks2: FastxReader | None,
                 return
             idx, base, reads = item
             t0 = time.time()
-            aligner.process(reads, base, pes0=pes0)
+            try:
+                aligner.process(reads, base, pes0=pes0)
+            except BaseException as e:  # propagate to the writer thread
+                with res_lock:
+                    worker_err.append(e)
+                    n_done_workers[0] += 1
+                    res_lock.notify_all()
+                return
             with res_lock:
                 results[idx] = (reads, time.time() - t0)
                 res_lock.notify_all()
@@ -80,8 +89,11 @@ def run_pipeline(aligner, ks1: FastxReader, ks2: FastxReader | None,
     next_idx = 0
     while True:
         with res_lock:
-            while next_idx not in results and n_done_workers[0] < nw:
+            while (next_idx not in results and n_done_workers[0] < nw
+                   and not worker_err):
                 res_lock.wait()
+            if worker_err:
+                raise worker_err[0]
             if next_idx not in results:
                 break  # all workers done and nothing pending
             reads, dt = results.pop(next_idx)

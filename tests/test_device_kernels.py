@@ -200,3 +200,35 @@ def test_end_to_end_pe_device_backend_golden(fm, backend):
     ours = "".join(r.sam for r in reads).splitlines(keepends=True)
     assert ours == golden
     assert n_batched[0] > 0, "batched rescue path did not fire"
+
+
+def test_long_read_round3_seed_cap(fm, backend):
+    """>=520bp unique reads can emit L//(k+1)+1 round-3 seeds — regression
+    for an off-by-one in the per-read output cap (device == oracle)."""
+    opt = MemOptions().finalize()
+    rng = np.random.default_rng(99)
+    encs = []
+    for i in range(4):
+        pos = int(rng.integers(0, fm.l_pac - 700))
+        s = fm.ref_string[pos:pos + 600].copy()
+        s[rng.integers(0, 600, 4)] = 4  # a few Ns keep seeds fragmented
+        encs.append(s.astype(np.uint8))
+    dev = backend.collect_smems(encs, opt)
+    host = collect_smems(fm, encs, opt)
+    for d, h in zip(dev, host):
+        assert drop_l(d) == drop_l(h)
+
+
+def test_pipeline_worker_error_propagates(fm):
+    """A crash inside a compute worker must fail the run, not hang it."""
+    import io
+    from bwamem2_tpu.runtime import run_pipeline
+
+    class Boom:
+        def process(self, reads, base, pes0=None):
+            raise RuntimeError("boom")
+
+    ks = FastxReader(os.path.join(DATA, "reads_se.fq"))
+    with pytest.raises(RuntimeError, match="boom"):
+        run_pipeline(Boom(), ks, None, 1000, io.StringIO(), verbose=0,
+                     n_workers=2)
