@@ -79,8 +79,8 @@ class _Pair:
     (qoff/qdir into the padded read grid row, toff/tdir absolute into the
     doubled-genome ref array) let the device kernel gather the sequences
     itself so only ~40B/pair crosses the host->device link."""
-    ref: np.ndarray
-    qer: np.ndarray
+    ref: np.ndarray | None
+    qer: np.ndarray | None
     h0: int
     regid: int      # index into the read's alnreg list
     seqid: int
@@ -88,6 +88,8 @@ class _Pair:
     qdir: int = 0
     toff: int = -1  # first ref char (absolute, doubled genome)
     tdir: int = 0
+    qlen: int = -1  # lengths (so descriptor-only pairs skip the copies)
+    tlen: int = -1
 
 
 def _run_class(pairs: list[_Pair], opt, regs_by_seqid, side: str,
@@ -163,7 +165,8 @@ def native_bsw_kernel_factory(end_bonus_attr: str):
 
 def extend_chains(fm: FMIndex, opt, encs: list[np.ndarray],
                   chains_per_read: list[list[Chain]],
-                  left_kernel=None, right_kernel=None) -> list[list[AlnReg]]:
+                  left_kernel=None, right_kernel=None,
+                  device_caps: tuple | None = None) -> list[list[AlnReg]]:
     """Extension over a batch of reads; returns per-read alignment regions
     (purged entries have qb == qe == -1 and are filtered by the caller)."""
     l_pac = fm.l_pac
@@ -214,15 +217,20 @@ def extend_chains(fm: FMIndex, opt, encs: list[np.ndarray],
                 regid = len(av) - 1
 
                 if s.qbeg:  # left extension (query prefix vs ref, reversed)
-                    qs = enc[s.qbeg - 1::-1].copy()
                     tmp = s.rbeg - rmax0
-                    rs = rseq[tmp - 1::-1].copy() if tmp > 0 \
-                        else rseq[0:0].copy()
+                    if (device_caps and s.qbeg <= device_caps[0]
+                            and tmp <= device_caps[1]):
+                        qs = rs = None  # device gathers from descriptors
+                    else:
+                        qs = enc[s.qbeg - 1::-1].copy()
+                        rs = rseq[tmp - 1::-1].copy() if tmp > 0 \
+                            else rseq[0:0].copy()
                     left_pairs.append(_Pair(ref=rs, qer=qs,
                                             h0=s.len * opt.a, regid=regid,
                                             seqid=seqid,
                                             qoff=s.qbeg - 1, qdir=-1,
-                                            toff=s.rbeg - 1, tdir=-1))
+                                            toff=s.rbeg - 1, tdir=-1,
+                                            qlen=s.qbeg, tlen=max(tmp, 0)))
                     a.qb = s.qbeg
                     a.rb = s.rbeg
                 else:
@@ -233,12 +241,19 @@ def extend_chains(fm: FMIndex, opt, encs: list[np.ndarray],
                 if s.qbeg + s.len != l_query:  # right extension
                     qe = s.qbeg + s.len
                     re = s.rbeg + s.len - rmax0
-                    qs = enc[qe:].copy()
-                    rs = rseq[re:rmax1 - rmax0].copy()
+                    qln = l_query - qe
+                    tln = (rmax1 - rmax0) - re
+                    if (device_caps and qln <= device_caps[0]
+                            and tln <= device_caps[1]):
+                        qs = rs = None
+                    else:
+                        qs = enc[qe:].copy()
+                        rs = rseq[re:rmax1 - rmax0].copy()
                     right_pairs.append(_Pair(ref=rs, qer=qs, h0=H0_NULL,
                                              regid=regid, seqid=seqid,
                                              qoff=qe, qdir=1,
-                                             toff=s.rbeg + s.len, tdir=1))
+                                             toff=s.rbeg + s.len, tdir=1,
+                                             qlen=qln, tlen=tln))
                     a.qe = qe
                     a.re = rmax0 + re
                 else:

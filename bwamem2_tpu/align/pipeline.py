@@ -65,6 +65,10 @@ class Aligner:
         if self.backend is not None:
             kw = dict(left_kernel=self.backend.left_bsw_kernel,
                       right_kernel=self.backend.right_bsw_kernel)
+            if getattr(self.backend, "_bsw", None) is not None:
+                # descriptor path active: in-cap pairs skip sequence copies
+                from ..ops.bsw import QCAP, TCAP
+                kw["device_caps"] = (QCAP, TCAP)
         with PROF("extension.bsw"):
             regs_per_read = extend_mod.extend_chains(fm, opt, encs,
                                                      chains_per_read, **kw)

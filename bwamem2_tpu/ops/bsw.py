@@ -246,8 +246,12 @@ class DeviceBSW:
     def _run(self, pending, w, opt, end_bonus):
         n = len(pending)
         out = np.zeros((n, 6), np.int32)
-        qls = np.fromiter((len(p.qer) for p in pending), np.int32, n)
-        tls = np.fromiter((len(p.ref) for p in pending), np.int32, n)
+        qls = np.fromiter(
+            (p.qlen if p.qlen >= 0 else len(p.qer) for p in pending),
+            np.int32, n)
+        tls = np.fromiter(
+            (p.tlen if p.tlen >= 0 else len(p.ref) for p in pending),
+            np.int32, n)
         fits = (qls <= QCAP) & (tls <= TCAP)
         host_idx = np.nonzero(~fits)[0].tolist()
         dev_idx = np.nonzero(fits)[0]
@@ -277,10 +281,10 @@ class DeviceBSW:
                     p = pending[i]
                     qoff[r] = p.seqid * L + p.qoff
                     qdir[r] = p.qdir
-                    qlen[r] = len(p.qer)
+                    qlen[r] = qls[i]
                     toff[r] = p.toff
                     tdir[r] = p.tdir
-                    tlen[r] = len(p.ref)
+                    tlen[r] = tls[i]
                     h0[r] = p.h0
                 res = bsw_desc_kernel(
                     self.dfm.ref, self.encj, jnp.asarray(qoff),
