@@ -79,7 +79,7 @@ def main():
     backend = DeviceBackend(fm, opt)
     al = Aligner(fm, opt, backend=backend, verbose=0)
 
-    # production path: ordered chunk pipeline, 3 compute workers (host
+    # production path: ordered chunk pipeline, 4 compute workers (host
     # python of one chunk overlaps device waits of the others)
     from bwamem2_tpu.runtime import run_pipeline
     task = (N_READS * READ_LEN) // 4
@@ -89,7 +89,7 @@ def main():
         ks = FastxReader(BENCH_FQ)
         t0 = time.time()
         n = run_pipeline(al, ks, None, task, devnull, verbose=0,
-                         n_workers=3)
+                         n_workers=4)
         assert n == N_READS
         return time.time() - t0
 

@@ -286,7 +286,7 @@ def main_mem(argv: list[str]) -> int:
     else:
         # -t maps to chunk-pipeline compute workers (capped: host python
         # saturates one GIL around 3-4); output is order-identical anyway
-        nw = 1 if no_mt_io else min(max(opt.n_threads, 1), 4)
+        nw = 1 if no_mt_io else min(max(opt.n_threads, 1), 6)
         run_pipeline(aligner, ks1, ks2, task_size, out, pes0=pes0,
                      copy_comment=copy_comment,
                      pipeline_depth=1 if no_mt_io else 2, verbose=verbose,
