@@ -89,6 +89,70 @@ def sa_positions(opt, smems: list[tuple]) -> np.ndarray:
     return np.array(pos, dtype=np.int64)
 
 
+def sa_positions_batch(opt, smems_per_read):
+    """Chunk-flat version of sa_positions: BWT positions in consumption
+    order plus the per-SMEM/per-read offset tables the native chainer
+    needs."""
+    smem_off = np.zeros(len(smems_per_read) + 1, np.int64)
+    m, n, s = [], [], []
+    occ_cnt = []
+    pos = []
+    for r, smems in enumerate(smems_per_read):
+        for (_, mm, nn, kk, _, ss) in smems:
+            m.append(mm)
+            n.append(nn)
+            s.append(ss)
+            step = ss // opt.max_occ if ss > opt.max_occ else 1
+            cnt = 0
+            j = 0
+            while j < ss and cnt < opt.max_occ:
+                pos.append(kk + j)
+                j += step
+                cnt += 1
+            occ_cnt.append(cnt)
+        smem_off[r + 1] = len(m)
+    occ_off = np.zeros(len(m) + 1, np.int64)
+    np.cumsum(occ_cnt, out=occ_off[1:])
+    return (np.array(pos, np.int64), smem_off,
+            np.array(m, np.int32), np.array(n, np.int32),
+            np.array(s, np.int64), occ_off)
+
+
+def chain_seeds_batch_native(fm: FMIndex, opt, encs, smem_off, smem_m,
+                             smem_n, smem_s, occ_off,
+                             coords: np.ndarray) -> list[list[Chain]]:
+    """mem_chain_seeds for a whole chunk via the C++ port (bit-identical to
+    chain_seeds per read; parity-tested)."""
+    from ..native import chain_seeds_batch
+    lseq = np.fromiter((len(e) for e in encs), np.int32, len(encs))
+    ctg_off = np.fromiter((a.offset for a in fm.bns.anns), np.int64,
+                          fm.bns.n_seqs)
+    ctg_alt = np.fromiter((1 if a.is_alt else 0 for a in fm.bns.anns),
+                          np.uint8, fm.bns.n_seqs)
+    (chain_off, chain_pos, chain_rid, chain_alt, chain_frac, chain_nseeds,
+     seed_rbeg, seed_qbeg, seed_len) = chain_seeds_batch(
+        lseq, smem_off, smem_m, smem_n, smem_s, occ_off, coords,
+        fm.l_pac, ctg_off, ctg_alt, opt)
+    out: list[list[Chain]] = []
+    sw = 0
+    for r in range(len(encs)):
+        lst = []
+        for ci in range(int(chain_off[r]), int(chain_off[r + 1])):
+            ns = int(chain_nseeds[ci])
+            seeds = [Seed(rbeg=int(seed_rbeg[sw + j]),
+                          qbeg=int(seed_qbeg[sw + j]),
+                          len=int(seed_len[sw + j]),
+                          score=int(seed_len[sw + j]))
+                     for j in range(ns)]
+            sw += ns
+            lst.append(Chain(pos=int(chain_pos[ci]), rid=int(chain_rid[ci]),
+                             seqid=r, is_alt=bool(chain_alt[ci]),
+                             seeds=seeds,
+                             frac_rep=float(chain_frac[ci])))
+        out.append(lst)
+    return out
+
+
 def chain_seeds(fm: FMIndex, opt, seqid: int, l_seq: int,
                 smems: list[tuple], coords: np.ndarray | None = None) -> list[Chain]:
     """SA-resolve SMEMs into seeds and chain them (mem_chain_seeds).

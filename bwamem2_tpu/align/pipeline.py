@@ -38,21 +38,28 @@ class Aligner:
         fm, opt = self.fm, self.opt
         if self.backend is not None:
             smems_per_read = self.backend.collect_smems(encs, opt)
-            # batch-resolve every read's SA positions in one device call
-            pos_per_read = [chain_mod.sa_positions(opt, s)
-                            for s in smems_per_read]
-            splits = np.cumsum([len(p) for p in pos_per_read])[:-1]
-            allpos = (np.concatenate(pos_per_read) if pos_per_read
-                      else np.zeros(0, np.int64))
-            coords = np.split(self.backend.sa_lookup(allpos), splits)
-        else:
-            smems_per_read = collect_smems(fm, encs, opt)
-            coords = [None] * len(encs)
+            # batch-resolve every read's SA positions in one device call,
+            # then chain the whole chunk in the native C++ port
+            (allpos, smem_off, smem_m, smem_n, smem_s,
+             occ_off) = chain_mod.sa_positions_batch(opt, smems_per_read)
+            coords = self.backend.sa_lookup(allpos)
+            with PROF("chaining"):
+                chains_per_read = chain_mod.chain_seeds_batch_native(
+                    fm, opt, encs, smem_off, smem_m, smem_n, smem_s,
+                    occ_off, coords)
+                for seqid, (enc, chains) in enumerate(
+                        zip(encs, chains_per_read)):
+                    chains = chain_mod.chain_filter(opt, chains)
+                    chain_mod.filter_chained_seeds(fm, opt, len(enc), enc,
+                                                   chains)
+                    chains_per_read[seqid] = chains
+            return chains_per_read
+        smems_per_read = collect_smems(fm, encs, opt)
         chains_per_read = []
         with PROF("chaining"):
             for seqid, (enc, smems) in enumerate(zip(encs, smems_per_read)):
                 chains = chain_mod.chain_seeds(fm, opt, seqid, len(enc),
-                                               smems, coords=coords[seqid])
+                                               smems, coords=None)
                 chains = chain_mod.chain_filter(opt, chains)
                 chain_mod.filter_chained_seeds(fm, opt, len(enc), enc, chains)
                 chains_per_read.append(chains)

@@ -80,6 +80,15 @@ def get_lib() -> ctypes.CDLL:
             p_i8, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             p_i32, p_i32]
 
+        p_f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.chain_seeds_batch.restype = None
+        lib.chain_seeds_batch.argtypes = [
+            c_i64, p_i32, p_i64, p_i32, p_i32, p_i64, p_i64, p_i64,
+            c_i64, c_i32, p_i64, p_u8,
+            c_i32, c_i32, c_i32, c_i32,
+            p_i64, p_i64, p_i32, p_u8, p_f32, p_i32,
+            p_i64, p_i32, p_i32]
+
         lib.ksw_global.restype = ctypes.c_int
         lib.ksw_global.argtypes = [
             ctypes.c_int, p_u8, ctypes.c_int, p_u8, ctypes.c_int, p_i8,
@@ -172,3 +181,37 @@ def ksw_global(query, target, mat, o_del, e_del, o_ins, e_ins, w,
                                  mat, o_del, e_del, o_ins, e_ins, w,
                                  None, np.zeros(1, dtype=np.uint32))
     return score, None
+
+
+def chain_seeds_batch(lseq, smem_off, smem_m, smem_n, smem_s, occ_off,
+                      occ_rbeg, l_pac, ctg_off, ctg_alt, opt):
+    """Batched mem_chain_seeds over a chunk (see core.cpp).  Returns
+    (chain_off, chain_pos, chain_rid, chain_alt, chain_frac, chain_nseeds,
+    seed_rbeg, seed_qbeg, seed_len) flat arrays."""
+    n_reads = len(lseq)
+    n_occ = len(occ_rbeg)
+    chain_off = np.zeros(n_reads + 1, np.int64)
+    chain_pos = np.zeros(n_occ, np.int64)
+    chain_rid = np.zeros(n_occ, np.int32)
+    chain_alt = np.zeros(n_occ, np.uint8)
+    chain_frac = np.zeros(n_occ, np.float32)
+    chain_nseeds = np.zeros(n_occ, np.int32)
+    seed_rbeg = np.zeros(n_occ, np.int64)
+    seed_qbeg = np.zeros(n_occ, np.int32)
+    seed_len = np.zeros(n_occ, np.int32)
+    get_lib().chain_seeds_batch(
+        n_reads, np.ascontiguousarray(lseq, np.int32),
+        np.ascontiguousarray(smem_off, np.int64),
+        np.ascontiguousarray(smem_m, np.int32),
+        np.ascontiguousarray(smem_n, np.int32),
+        np.ascontiguousarray(smem_s, np.int64),
+        np.ascontiguousarray(occ_off, np.int64),
+        np.ascontiguousarray(occ_rbeg, np.int64),
+        l_pac, len(ctg_off),
+        np.ascontiguousarray(ctg_off, np.int64),
+        np.ascontiguousarray(ctg_alt, np.uint8),
+        opt.w, opt.max_chain_gap, opt.max_occ, opt.min_seed_len,
+        chain_off, chain_pos, chain_rid, chain_alt, chain_frac,
+        chain_nseeds, seed_rbeg, seed_qbeg, seed_len)
+    return (chain_off, chain_pos, chain_rid, chain_alt, chain_frac,
+            chain_nseeds, seed_rbeg, seed_qbeg, seed_len)

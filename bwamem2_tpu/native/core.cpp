@@ -769,3 +769,149 @@ int ksw_global(int qlen, const uint8_t *query, int tlen, const uint8_t *target,
 }
 
 } // extern "C"
+
+
+// ---------------------------------------------------------------------------
+// Seed chaining (mem_chain_seeds, bwamem.cpp:806-974; test_and_merge
+// :357-399).  Exact port of align/chain.py:chain_seeds (the golden-tested
+// python spec): chains kept sorted by position with bisect_right insertion
+// (the kbtree in-order equivalent), seeds merged into the closest chain at
+// or left of rbeg, repeat fraction from >max_occ SMEM coverage in float32.
+// ---------------------------------------------------------------------------
+
+extern "C" void chain_seeds_batch(
+    int64_t n_reads, const int32_t *lseq,
+    const int64_t *smem_off,                    // n_reads+1
+    const int32_t *smem_m, const int32_t *smem_n, const int64_t *smem_s,
+    const int64_t *occ_off,                     // n_smems+1
+    const int64_t *occ_rbeg,                    // consumption order
+    int64_t l_pac, int32_t n_contigs, const int64_t *ctg_off,
+    const uint8_t *ctg_alt,
+    int32_t opt_w, int32_t max_chain_gap, int32_t max_occ,
+    int32_t min_seed_len,
+    // outputs; capacities: chains <= n_occ, seeds <= n_occ (flat)
+    int64_t *chain_off,                         // n_reads+1
+    int64_t *chain_pos, int32_t *chain_rid, uint8_t *chain_alt,
+    float *chain_frac, int32_t *chain_nseeds,
+    int64_t *seed_rbeg, int32_t *seed_qbeg, int32_t *seed_len) {
+
+    struct CSeed { int64_t rbeg; int32_t qbeg, len; };
+    struct CChain { int64_t pos; int32_t rid; bool alt;
+                    std::vector<CSeed> seeds; };
+
+    auto pos2rid = [&](int64_t pos_f) -> int32_t {
+        if (pos_f >= l_pac) return -1;
+        int64_t lo = 0, hi = n_contigs;   // bisect_right(offsets) - 1
+        while (lo < hi) {
+            int64_t mid = (lo + hi) >> 1;
+            if (ctg_off[mid] <= pos_f) lo = mid + 1; else hi = mid;
+        }
+        return (int32_t)(lo - 1);
+    };
+    auto depos = [&](int64_t pos) -> int64_t {
+        return pos >= l_pac ? (l_pac << 1) - 1 - pos : pos;
+    };
+    auto intv2rid = [&](int64_t rb, int64_t re) -> int32_t {
+        if (rb < l_pac && l_pac < re) return -2;
+        int32_t rid_b = pos2rid(depos(rb));
+        int32_t rid_e = rb < re ? pos2rid(depos(re - 1)) : rid_b;
+        return rid_b == rid_e ? rid_b : -1;
+    };
+
+    int64_t cw = 0, sw = 0;  // output write cursors
+    chain_off[0] = 0;
+    std::vector<CChain> chains;
+    for (int64_t r = 0; r < n_reads; ++r) {
+        chains.clear();
+        int64_t s0 = smem_off[r], s1 = smem_off[r + 1];
+        if (s1 > s0 && lseq[r] >= min_seed_len) {
+            // repeat fraction: coverage of the read by >max_occ SMEMs
+            int64_t b = 0, e = 0, l_rep = 0;
+            for (int64_t i = s0; i < s1; ++i) {
+                if (smem_s[i] <= max_occ) continue;
+                int64_t sb = smem_m[i], se = (int64_t)smem_n[i] + 1;
+                if (sb > e) { l_rep += e - b; b = sb; e = se; }
+                else if (se > e) e = se;
+            }
+            l_rep += e - b;
+            float frac_rep = (float)l_rep / (float)lseq[r];
+
+            for (int64_t i = s0; i < s1; ++i) {
+                int32_t slen = smem_n[i] + 1 - smem_m[i];
+                for (int64_t o = occ_off[i]; o < occ_off[i + 1]; ++o) {
+                    int64_t rbeg = occ_rbeg[o];
+                    int32_t rid = intv2rid(rbeg, rbeg + slen);
+                    if (rid < 0) continue;
+                    CSeed seed{rbeg, smem_m[i], slen};
+                    bool to_add = true;
+                    if (!chains.empty()) {
+                        int64_t lo = 0, hi = (int64_t)chains.size();
+                        while (lo < hi) {   // bisect_right(poslist, rbeg)
+                            int64_t mid = (lo + hi) >> 1;
+                            if (chains[mid].pos <= rbeg) lo = mid + 1;
+                            else hi = mid;
+                        }
+                        int64_t ci = lo - 1;
+                        if (ci >= 0) {
+                            // test_and_merge (bwamem.cpp:357-399)
+                            CChain &c = chains[ci];
+                            const CSeed &last = c.seeds.back();
+                            const CSeed &first = c.seeds.front();
+                            int64_t qend = (int64_t)last.qbeg + last.len;
+                            int64_t rend = last.rbeg + last.len;
+                            if (rid == c.rid) {
+                                if (seed.qbeg >= first.qbeg
+                                        && seed.qbeg + seed.len <= qend
+                                        && seed.rbeg >= first.rbeg
+                                        && seed.rbeg + seed.len <= rend) {
+                                    to_add = false;  // contained: drop
+                                } else if (!((last.rbeg < l_pac
+                                              || first.rbeg < l_pac)
+                                             && seed.rbeg >= l_pac)) {
+                                    int64_t x = seed.qbeg - last.qbeg;
+                                    int64_t y = seed.rbeg - last.rbeg;
+                                    if (y >= 0 && x - y <= opt_w
+                                            && y - x <= opt_w
+                                            && x - last.len < max_chain_gap
+                                            && y - last.len < max_chain_gap) {
+                                        c.seeds.push_back(seed);
+                                        to_add = false;
+                                    }
+                                }
+                            }
+                        }
+                    }
+                    if (to_add) {
+                        int64_t lo = 0, hi = (int64_t)chains.size();
+                        while (lo < hi) {
+                            int64_t mid = (lo + hi) >> 1;
+                            if (chains[mid].pos <= rbeg) lo = mid + 1;
+                            else hi = mid;
+                        }
+                        CChain nc;
+                        nc.pos = rbeg;
+                        nc.rid = rid;
+                        nc.alt = ctg_alt[rid] != 0;
+                        nc.seeds.push_back(seed);
+                        chains.insert(chains.begin() + lo, std::move(nc));
+                    }
+                }
+            }
+            for (const CChain &c : chains) {
+                chain_pos[cw] = c.pos;
+                chain_rid[cw] = c.rid;
+                chain_alt[cw] = c.alt ? 1 : 0;
+                chain_frac[cw] = frac_rep;
+                chain_nseeds[cw] = (int32_t)c.seeds.size();
+                ++cw;
+                for (const CSeed &sd : c.seeds) {
+                    seed_rbeg[sw] = sd.rbeg;
+                    seed_qbeg[sw] = sd.qbeg;
+                    seed_len[sw] = sd.len;
+                    ++sw;
+                }
+            }
+        }
+        chain_off[r + 1] = cw;
+    }
+}

@@ -90,3 +90,38 @@ def test_ksw_global_cigar():
     assert sum(l for l, op in ops if op in "MI") == len(q)
     assert sum(l for l, op in ops if op in "MD") == len(t)
     assert any(op == "I" for _, op in ops)
+
+
+def test_chain_seeds_batch_native_parity():
+    """C++ chain_seeds_batch == python chain_seeds, field for field."""
+    import numpy as np
+    from bwamem2_tpu.align import chain as chain_mod
+    from bwamem2_tpu.align.seeding import collect_smems, encode_reads
+    from bwamem2_tpu.index.fmindex import FMIndex
+    from bwamem2_tpu.io.fastq import FastxReader, read_chunk
+    from bwamem2_tpu.options import MemOptions
+    from conftest import DATA, FIXTURES
+    import os
+
+    fm = FMIndex.load(os.path.join(FIXTURES, "ref_small.fa"))
+    opt = MemOptions().finalize()
+    reads = read_chunk(FastxReader(os.path.join(DATA, "reads_se.fq")),
+                       None, 10**9)[:120]
+    encs = encode_reads([r.seq for r in reads])
+    smems = collect_smems(fm, encs, opt)
+    (allpos, smem_off, smem_m, smem_n, smem_s,
+     occ_off) = chain_mod.sa_positions_batch(opt, smems)
+    coords = np.array([fm.get_sa_entry(int(p)) for p in allpos], np.int64)
+    got = chain_mod.chain_seeds_batch_native(
+        fm, opt, encs, smem_off, smem_m, smem_n, smem_s, occ_off, coords)
+    for seqid, (enc, sm) in enumerate(zip(encs, smems)):
+        want = chain_mod.chain_seeds(fm, opt, seqid, len(enc), sm,
+                                     coords=None)
+        g = got[seqid]
+        assert len(g) == len(want), seqid
+        for cg, cw in zip(g, want):
+            assert (cg.pos, cg.rid, cg.seqid, cg.is_alt) == \
+                (cw.pos, cw.rid, cw.seqid, cw.is_alt)
+            assert cg.frac_rep == cw.frac_rep
+            assert [(s.rbeg, s.qbeg, s.len, s.score) for s in cg.seeds] == \
+                [(s.rbeg, s.qbeg, s.len, s.score) for s in cw.seeds]
