@@ -39,3 +39,21 @@ def bucket_pow2(n: int, lo: int = 256) -> int:
             return b + (b >> 1)
         b <<= 1
     return b
+
+
+def fori_unroll2(lo: int, hi: int, body, st):
+    """lax.fori_loop with the body unrolled 2x: per-iteration loop overhead
+    (state round trips, control) is a large share of small-state device
+    loops on this backend, and halving the trip count claws most of it
+    back.  `lo`/`hi` must be static."""
+    import jax as _j
+    n2 = (hi - lo) // 2
+
+    def b2(i, s):
+        t = lo + 2 * i
+        return body(t + 1, body(t, s))
+
+    st = _j.lax.fori_loop(0, n2, b2, st)
+    if (hi - lo) & 1:
+        st = body(hi - 1, st)
+    return st

@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import fori_unroll2
 from .device_index import (DeviceFMIndex, backward_ext_full, lf_step,
                            lf_step32, take_counts)
 
@@ -143,7 +144,7 @@ def _round1_walk(dfm: DeviceFMIndex, enc: jax.Array, lens: jax.Array,
         return body2
 
     for lo, hi in zip(cuts[:-1], cuts[1:]):
-        st = jax.lax.fori_loop(lo, hi, make_body(consts), st)
+        st = fori_unroll2(lo, hi, make_body(consts), st)
         if hi < L:
             drop = hi - lo
             b_parts.append(st[3][:, :drop])
@@ -288,7 +289,7 @@ def round3_replay_kernel(dfm: DeviceFMIndex, enc: jax.Array,
         return x, col, k, l, s, seg, nout, out_x, out_n, out_s, out_k
 
     st = (x, col, k, l, s, seg, nout, out_x, out_n, out_s, out_k)
-    st = jax.lax.fori_loop(0, 2 * L + 2, body, st)
+    st = fori_unroll2(0, 2 * L + 2, body, st)
     return st[6], st[7], st[8], st[9], st[10]
 
 
@@ -360,7 +361,7 @@ def round2_forward_kernel(dfm: DeviceFMIndex, enc: jax.Array,
     cands = (cand_n, cand_k, cand_l, cand_s)
     n_init = jnp.zeros((P,), jnp.int32)
     st = (cands, ncand, k0, l0, s0, n_init, valid)
-    st = jax.lax.fori_loop(1, L, body, st)
+    st = fori_unroll2(1, L, body, st)
     (cands, ncand, k, l, s, n, alive) = st
     # final push: surviving interval if s >= min_intv (incl. single-char case)
     push_final = valid & (s >= min_intv)
@@ -416,6 +417,6 @@ def round2_backward_kernel(dfm: DeviceFMIndex, enc: jax.Array,
         alive = ext
         return alive, col, k, s, steps, died
 
-    st = jax.lax.fori_loop(0, L, body, (alive, col, k, s, steps, died))
+    st = fori_unroll2(0, L, body, (alive, col, k, s, steps, died))
     _, _, k, s, steps, died = st
     return steps, k, s, died
