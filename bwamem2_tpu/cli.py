@@ -269,14 +269,31 @@ def main_mem(argv: list[str]) -> int:
                  else opt.chunk_size * opt.n_threads)
 
     backend = None
+    aligners = None
     if device_backend:
         try:
+            import jax
             from .ops.backend import DeviceBackend
-            backend = DeviceBackend(fm, opt)
+            devs = jax.devices()
+            if len(devs) > 1:
+                # multi-chip data parallelism: replicate the index on each
+                # chip, round-robin chunks (SURVEY §5.8 — zero collectives)
+                aligners = [Aligner(fm, opt,
+                                    backend=DeviceBackend(fm, opt, device=d),
+                                    rg_id=rg_id, verbose=verbose)
+                            for d in devs[:8]]
+                backend = aligners[0].backend
+                if verbose >= 3:
+                    sys.stderr.write(
+                        f"* data-parallel over {len(aligners)} chips\n")
+            else:
+                backend = DeviceBackend(fm, opt)
         except Exception as e:  # pragma: no cover
             sys.stderr.write(f"[W] device backend unavailable ({e}); "
                              "using host path\n")
     aligner = Aligner(fm, opt, backend=backend, rg_id=rg_id, verbose=verbose)
+    if aligners is None:
+        aligners = aligner
     if shard is not None:
         from .parallel.multihost import run_sharded
         run_sharded(aligner, ks1, ks2, task_size,
@@ -286,8 +303,9 @@ def main_mem(argv: list[str]) -> int:
     else:
         # -t maps to chunk-pipeline compute workers (capped: host python
         # saturates one GIL around 3-4); output is order-identical anyway
-        nw = 1 if no_mt_io else min(max(opt.n_threads, 1), 6)
-        run_pipeline(aligner, ks1, ks2, task_size, out, pes0=pes0,
+        n_dev = len(aligners) if isinstance(aligners, list) else 1
+        nw = 1 if no_mt_io else max(min(max(opt.n_threads, 1), 6), n_dev)
+        run_pipeline(aligners, ks1, ks2, task_size, out, pes0=pes0,
                      copy_comment=copy_comment,
                      pipeline_depth=1 if no_mt_io else 2, verbose=verbose,
                      n_workers=nw)

@@ -55,6 +55,7 @@ class DeviceBackend:
             K, lk, ls = load_or_build_klut(fm, index_prefix)
             self.lut_k_bits = K
             lut = (lk, ls)
+        self._device = device
         self.dfm = DeviceFMIndex.from_host(fm, device=device, lut=lut)
         # int32 interval arithmetic is exact when the doubled genome fits
         # (and implies the occ1 table exists)
@@ -82,8 +83,12 @@ class DeviceBackend:
         enc, lens = _pad_reads(encs)
         N, L = enc.shape
         NR = len(encs)
-        encj = jnp.asarray(enc)
-        lensj = jnp.asarray(lens)
+        if self._device is not None:   # multi-chip: pin to this chip
+            encj = jax.device_put(enc, self._device)
+            lensj = jax.device_put(lens, self._device)
+        else:
+            encj = jnp.asarray(enc)
+            lensj = jnp.asarray(lens)
         if self._bsw is not None:
             # extension kernels gather query sequences from this chunk's
             # device-resident read grid (descriptor path, ops/bsw.py)

@@ -29,7 +29,13 @@ def run_pipeline(aligner, ks1: FastxReader, ks2: FastxReader | None,
     2-thread kt_pipeline overlap.  Chunk boundaries and per-chunk state
     (pestat, n_processed bases) are fixed by the single reader, and the
     writer emits strictly in chunk order, so output is bit-identical for
-    any worker count."""
+    any worker count.
+
+    `aligner` may be a LIST of aligners (one per chip, each with a
+    device-pinned backend): chunks round-robin across them — data
+    parallelism over chips with a replicated index and zero collectives,
+    the scale-out shape of SURVEY §5.8."""
+    aligners = aligner if isinstance(aligner, (list, tuple)) else [aligner]
     q_in: queue.Queue = queue.Queue(maxsize=max(pipeline_depth, n_workers))
     done = object()
 
@@ -66,7 +72,8 @@ def run_pipeline(aligner, ks1: FastxReader, ks2: FastxReader | None,
             idx, base, reads = item
             t0 = time.time()
             try:
-                aligner.process(reads, base, pes0=pes0)
+                aligners[idx % len(aligners)].process(reads, base,
+                                                      pes0=pes0)
             except BaseException as e:  # propagate to the writer thread
                 with res_lock:
                     worker_err.append(e)

@@ -21,6 +21,17 @@ os.environ["PYTHONPATH"] = ":".join(
     p for p in os.environ.get("PYTHONPATH", "").split(":") if ".axon_site" not in p
 )
 
+# The site hook may have imported jax already and snapshotted
+# jax_platforms=axon,cpu — env vars alone are then ignored.  Force the
+# virtual CPU mesh through the config (no-op if a backend is already live).
+try:  # noqa: E402
+    import jax as _jax
+
+    if (_jax.config.jax_platforms or "") != "cpu":
+        _jax.config.update("jax_platforms", "cpu")
+except Exception:  # pragma: no cover
+    pass
+
 import pytest  # noqa: E402,F401
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

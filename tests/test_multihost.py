@@ -60,3 +60,42 @@ def test_sharded_merge_identical(fm, paired, n_shards, tmp_path):
     n = merge_chunks(out, glob.glob(os.path.join(out_dir, "part.chunk*.sam")))
     assert n > 0
     assert out.getvalue() == want
+
+
+def test_multi_device_chunk_round_robin():
+    """Chunks round-robin across device-pinned backends (data parallelism
+    over chips, replicated index): output bit-identical to one device."""
+    import io
+    import os
+
+    import jax
+
+    from bwamem2_tpu.align.pipeline import Aligner
+    from bwamem2_tpu.index.fmindex import FMIndex
+    from bwamem2_tpu.io.fastq import FastxReader
+    from bwamem2_tpu.options import MemOptions
+    from bwamem2_tpu.ops.backend import DeviceBackend
+    from bwamem2_tpu.runtime import run_pipeline
+    from conftest import DATA, FIXTURES
+
+    fm = FMIndex.load(os.path.join(FIXTURES, "ref_small.fa"))
+    opt = MemOptions().finalize()
+    devs = jax.devices()
+    assert len(devs) >= 2
+    aligners = [Aligner(fm, opt, backend=DeviceBackend(fm, opt, device=d),
+                        verbose=0) for d in devs[:2]]
+    fq = os.path.join(DATA, "reads_se.fq")
+
+    def run(al):
+        out = io.StringIO()
+        n = run_pipeline(al, FastxReader(fq), None, 8000, out, verbose=0,
+                         n_workers=2)
+        assert n > 0
+        return out.getvalue()
+
+    two = run(aligners)
+    one = run(aligners[0])
+    assert two == one
+    with open(os.path.join(FIXTURES, "golden_se.sam")) as f:
+        golden = "".join(l for l in f if not l.startswith("@"))
+    assert two == golden
