@@ -30,7 +30,11 @@ def _occ_vec(fm: FMIndex, pos: np.ndarray, c: int) -> np.ndarray:
 
 
 def default_k(l_pac: int) -> int:
-    """LUT depth: ~genome-size-matched so the table stays useful but small."""
+    """LUT depth: genome-size-matched.  NOTE (measured on v5e): with the
+    static-trip fori walks, the LUT's value is gather LOCALITY (fewer live
+    lanes -> dead lanes re-gather one cached address), so a deeper table
+    does NOT pay once its own 4^K gathers lose locality — K=10 benched
+    ~20% slower than K=6 on the 100kb fixture."""
     if l_pac >= (1 << 26):
         return 12
     if l_pac >= (1 << 18):
