@@ -121,6 +121,16 @@ class BntSeq:
 
 
 def open_maybe_gz(path: str):
+    """Open a local file, http(s)://, or ftp:// input, transparently
+    gunzipping — the kopen analog (kopen.cpp:117 http_open, :189 ftp)."""
+    if path.startswith(("http://", "https://", "ftp://")):
+        import io as _io
+        import urllib.request
+        resp = urllib.request.urlopen(path)
+        buf = _io.BufferedReader(resp)
+        if buf.peek(2)[:2] == b"\x1f\x8b":
+            return gzip.open(buf, "rb")
+        return buf
     with open(path, "rb") as f:
         magic = f.read(2)
     if magic == b"\x1f\x8b":

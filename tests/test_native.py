@@ -125,3 +125,44 @@ def test_chain_seeds_batch_native_parity():
             assert cg.frac_rep == cw.frac_rep
             assert [(s.rbeg, s.qbeg, s.len, s.score) for s in cg.seeds] == \
                 [(s.rbeg, s.qbeg, s.len, s.score) for s in cw.seeds]
+
+
+def test_fastq_reader_http_and_gz_inputs():
+    """kopen parity: http:// and gzip inputs stream through FastxReader."""
+    import gzip
+    import http.server
+    import threading
+    import os
+
+    from bwamem2_tpu.io.fastq import FastxReader
+    from conftest import DATA
+
+    src = os.path.join(DATA, "reads_se.fq")
+    with open(src, "rb") as f:
+        raw = f.read()
+    tmpdir = os.path.join(os.path.dirname(DATA), "tmp")
+    os.makedirs(tmpdir, exist_ok=True)
+    gzpath = os.path.join(tmpdir, "reads_se.fq.gz")
+    with gzip.open(gzpath, "wb") as f:
+        f.write(raw)
+
+    handler = lambda *a, **k: http.server.SimpleHTTPRequestHandler(
+        *a, directory=DATA, **k)
+    httpd = http.server.HTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}/reads_se.fq"
+        want = []
+        r = FastxReader(src)
+        while (rd := r.read_one()) is not None:
+            want.append((rd.name, rd.seq, rd.qual))
+
+        for path in (url, gzpath):
+            got = []
+            r = FastxReader(path)
+            while (rd := r.read_one()) is not None:
+                got.append((rd.name, rd.seq, rd.qual))
+            assert got == want, path
+    finally:
+        httpd.shutdown()
