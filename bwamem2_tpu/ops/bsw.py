@@ -263,7 +263,10 @@ class DeviceBSW:
         from . import bucket_pow2, round_up
         buckets = []
         if len(dev_idx):
-            Q = round_up(int(qls[dev_idx].max()), 32)
+            # the DP arrays are (P, Qmax+1): size Qmax so that Qmax+1 is a
+            # multiple of the 128-wide vector lanes (129 would pad to 256
+            # and waste half the VPU)
+            Q = round_up(int(qls[dev_idx].max()) + 1, 128) - 1
             T = round_up(int(tls[dev_idx].max()), 32)
             buckets = [((Q, T), dev_idx.tolist())]
         for (Q, T), idxs in buckets:
