@@ -118,6 +118,48 @@ def sa_positions_batch(opt, smems_per_read):
             np.array(s, np.int64), occ_off)
 
 
+def chain_and_filter_batch_native(fm: FMIndex, opt, encs, smem_off,
+                                  smem_m, smem_n, smem_s, occ_off,
+                                  coords: np.ndarray) -> list[list[Chain]]:
+    """mem_chain_seeds + mem_chain_flt for a whole chunk in C++ (both
+    bit-identical to the python spec incl. ks_introsort tie permutation);
+    Chain/Seed objects are built only for the surviving chains."""
+    from ..native import chain_filter_batch, chain_seeds_batch
+    lseq = np.fromiter((len(e) for e in encs), np.int32, len(encs))
+    ctg_off = np.fromiter((a.offset for a in fm.bns.anns), np.int64,
+                          fm.bns.n_seqs)
+    ctg_alt = np.fromiter((1 if a.is_alt else 0 for a in fm.bns.anns),
+                          np.uint8, fm.bns.n_seqs)
+    (chain_off, chain_pos, chain_rid, chain_alt, chain_frac, chain_nseeds,
+     seed_rbeg, seed_qbeg, seed_len) = chain_seeds_batch(
+        lseq, smem_off, smem_m, smem_n, smem_s, occ_off, coords,
+        fm.l_pac, ctg_off, ctg_alt, opt)
+    out_off, out_idx, out_w, out_kept = chain_filter_batch(
+        chain_off, chain_alt, chain_nseeds, seed_rbeg, seed_qbeg,
+        seed_len, opt)
+    soff = np.zeros(len(chain_nseeds) + 1, np.int64)
+    np.cumsum(chain_nseeds, out=soff[1:])
+    out: list[list[Chain]] = []
+    for r in range(len(encs)):
+        lst = []
+        for oi in range(int(out_off[r]), int(out_off[r + 1])):
+            ci = int(out_idx[oi])
+            s0 = int(soff[ci])
+            ns = int(chain_nseeds[ci])
+            seeds = [Seed(rbeg=int(seed_rbeg[s0 + j]),
+                          qbeg=int(seed_qbeg[s0 + j]),
+                          len=int(seed_len[s0 + j]),
+                          score=int(seed_len[s0 + j]))
+                     for j in range(ns)]
+            lst.append(Chain(pos=int(chain_pos[ci]), rid=int(chain_rid[ci]),
+                             seqid=r, is_alt=bool(chain_alt[ci]),
+                             seeds=seeds, w=int(out_w[oi]),
+                             kept=int(out_kept[oi]),
+                             frac_rep=float(chain_frac[ci])))
+        out.append(lst)
+    return out
+
+
 def chain_seeds_batch_native(fm: FMIndex, opt, encs, smem_off, smem_m,
                              smem_n, smem_s, occ_off,
                              coords: np.ndarray) -> list[list[Chain]]:

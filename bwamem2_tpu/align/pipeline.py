@@ -44,15 +44,13 @@ class Aligner:
              occ_off) = chain_mod.sa_positions_batch(opt, smems_per_read)
             coords = self.backend.sa_lookup(allpos)
             with PROF("chaining"):
-                chains_per_read = chain_mod.chain_seeds_batch_native(
+                chains_per_read = chain_mod.chain_and_filter_batch_native(
                     fm, opt, encs, smem_off, smem_m, smem_n, smem_s,
                     occ_off, coords)
                 for seqid, (enc, chains) in enumerate(
                         zip(encs, chains_per_read)):
-                    chains = chain_mod.chain_filter(opt, chains)
                     chain_mod.filter_chained_seeds(fm, opt, len(enc), enc,
                                                    chains)
-                    chains_per_read[seqid] = chains
             return chains_per_read
         smems_per_read = collect_smems(fm, encs, opt)
         chains_per_read = []

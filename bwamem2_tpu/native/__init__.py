@@ -89,6 +89,12 @@ def get_lib() -> ctypes.CDLL:
             p_i64, p_i64, p_i32, p_u8, p_f32, p_i32,
             p_i64, p_i32, p_i32]
 
+        lib.chain_filter_batch.restype = None
+        lib.chain_filter_batch.argtypes = [
+            c_i64, p_i64, p_u8, p_i32, p_i64, p_i32, p_i32,
+            c_i32, c_i32, c_i32, c_i32, ctypes.c_float, ctypes.c_float,
+            p_i64, p_i64, p_i32, p_u8]
+
         lib.ksw_global.restype = ctypes.c_int
         lib.ksw_global.argtypes = [
             ctypes.c_int, p_u8, ctypes.c_int, p_u8, ctypes.c_int, p_i8,
@@ -215,3 +221,27 @@ def chain_seeds_batch(lseq, smem_off, smem_m, smem_n, smem_s, occ_off,
         chain_nseeds, seed_rbeg, seed_qbeg, seed_len)
     return (chain_off, chain_pos, chain_rid, chain_alt, chain_frac,
             chain_nseeds, seed_rbeg, seed_qbeg, seed_len)
+
+
+def chain_filter_batch(chain_off, chain_alt, chain_nseeds, seed_rbeg,
+                       seed_qbeg, seed_len, opt):
+    """Batched mem_chain_flt (see core.cpp): returns (out_off, out_idx,
+    out_w, out_kept) — surviving chains per read in final sorted order."""
+    n_reads = len(chain_off) - 1
+    n_chains = int(chain_off[-1])
+    out_off = np.zeros(n_reads + 1, np.int64)
+    out_idx = np.zeros(max(n_chains, 1), np.int64)
+    out_w = np.zeros(max(n_chains, 1), np.int32)
+    out_kept = np.zeros(max(n_chains, 1), np.uint8)
+    get_lib().chain_filter_batch(
+        n_reads, np.ascontiguousarray(chain_off, np.int64),
+        np.ascontiguousarray(chain_alt, np.uint8),
+        np.ascontiguousarray(chain_nseeds, np.int32),
+        np.ascontiguousarray(seed_rbeg, np.int64),
+        np.ascontiguousarray(seed_qbeg, np.int32),
+        np.ascontiguousarray(seed_len, np.int32),
+        opt.min_chain_weight, opt.max_chain_gap, opt.max_chain_extend,
+        opt.min_seed_len,
+        ctypes.c_float(opt.mask_level), ctypes.c_float(opt.drop_ratio),
+        out_off, out_idx, out_w, out_kept)
+    return out_off, out_idx, out_w, out_kept

@@ -26,6 +26,7 @@
 #include <cstring>
 #include <cstdio>
 #include <vector>
+#include <array>
 #include <algorithm>
 
 extern "C" {
@@ -913,5 +914,217 @@ extern "C" void chain_seeds_batch(
             }
         }
         chain_off[r + 1] = cw;
+    }
+}
+
+
+// ---------------------------------------------------------------------------
+// Chain filtering (mem_chain_flt, bwamem.cpp:506-624) with klib
+// ks_introsort's exact tie permutation (src/ksort.h:185-236) — port of the
+// golden-tested python spec (align/chain.py:chain_filter + utils/ksort.py).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+template <class Less>
+static void ks_insertsort(int64_t *a, int64_t s, int64_t t, Less lt) {
+    for (int64_t i = s + 1; i < t; ++i)
+        for (int64_t j = i; j > s && lt(a[j], a[j - 1]); --j)
+            std::swap(a[j], a[j - 1]);
+}
+
+template <class Less>
+static void ks_combsort(int64_t *a, int64_t s, int64_t n, Less lt) {
+    const double shrink = 1.2473309501039786540366528676643;
+    int64_t gap = n;
+    for (;;) {
+        if (gap > 2) {
+            gap = (int64_t)(gap / shrink);
+            if (gap == 9 || gap == 10) gap = 11;
+        }
+        bool do_swap = false;
+        for (int64_t i = s; i < s + n - gap; ++i) {
+            int64_t j = i + gap;
+            if (lt(a[j], a[i])) { std::swap(a[i], a[j]); do_swap = true; }
+        }
+        if (!(do_swap || gap > 2)) break;
+    }
+    if (gap != 1) ks_insertsort(a, s, s + n, lt);
+}
+
+template <class Less>
+static void ks_introsort_idx(int64_t *a, int64_t n, Less lt) {
+    if (n < 1) return;
+    if (n == 2) {
+        if (lt(a[1], a[0])) std::swap(a[0], a[1]);
+        return;
+    }
+    int d = 2;
+    while ((1LL << d) < n) ++d;
+    d <<= 1;
+    std::vector<std::array<int64_t, 3>> stack;
+    int64_t s = 0, t = n - 1;
+    for (;;) {
+        if (s < t) {
+            if (--d == 0) {
+                ks_combsort(a, s, t - s + 1, lt);
+                t = s;
+                continue;
+            }
+            int64_t i = s, j = t;
+            int64_t k = i + ((j - i) >> 1) + 1;
+            if (lt(a[k], a[i])) {
+                if (lt(a[k], a[j])) k = j;
+            } else {
+                k = lt(a[j], a[i]) ? i : j;
+            }
+            int64_t rp = a[k];
+            if (k != t) std::swap(a[k], a[t]);
+            for (;;) {
+                do ++i; while (lt(a[i], rp));
+                do --j; while (i <= j && lt(rp, a[j]));
+                if (j <= i) break;
+                std::swap(a[i], a[j]);
+            }
+            std::swap(a[i], a[t]);
+            if (i - s > t - i) {
+                if (i - s > 16) stack.push_back({s, i - 1, d});
+                s = (t - i > 16) ? i + 1 : t;
+            } else {
+                if (t - i > 16) stack.push_back({i + 1, t, d});
+                t = (i - s > 16) ? i - 1 : s;
+            }
+        } else {
+            if (stack.empty()) {
+                ks_insertsort(a, 0, n, lt);
+                return;
+            }
+            auto e = stack.back();
+            stack.pop_back();
+            s = e[0]; t = e[1]; d = (int)e[2];
+        }
+    }
+}
+
+} // namespace
+
+extern "C" void chain_filter_batch(
+    int64_t n_reads,
+    const int64_t *chain_off,                   // n_reads+1 (chain_seeds out)
+    const uint8_t *chain_alt, const int32_t *chain_nseeds,
+    const int64_t *seed_rbeg, const int32_t *seed_qbeg,
+    const int32_t *seed_len,                    // flat, chain-major
+    int32_t min_chain_weight, int32_t max_chain_gap,
+    int32_t max_chain_extend, int32_t min_seed_len,
+    float mask_level, float drop_ratio,
+    // outputs: surviving chains per read, in final (sorted) order
+    int64_t *out_off,                           // n_reads+1
+    int64_t *out_idx,                           // global chain index
+    int32_t *out_w, uint8_t *out_kept) {
+
+    // per-chain seed start offsets (prefix over nseeds)
+    int64_t total_chains = chain_off[n_reads];
+    std::vector<int64_t> soff(total_chains + 1, 0);
+    for (int64_t c = 0; c < total_chains; ++c)
+        soff[c + 1] = soff[c] + chain_nseeds[c];
+
+    auto chain_weight = [&](int64_t c) -> int32_t {
+        int64_t w = 0, end = 0;
+        for (int64_t s = soff[c]; s < soff[c + 1]; ++s) {
+            int64_t qb = seed_qbeg[s], l = seed_len[s];
+            if (qb >= end) w += l;
+            else if (qb + l > end) w += qb + l - end;
+            if (qb + l > end) end = qb + l;
+        }
+        int64_t tmp = w; w = 0; end = 0;
+        for (int64_t s = soff[c]; s < soff[c + 1]; ++s) {
+            int64_t rb = seed_rbeg[s], l = seed_len[s];
+            if (rb >= end) w += l;
+            else if (rb + l > end) w += rb + l - end;
+            if (rb + l > end) end = rb + l;
+        }
+        if (w > tmp) w = tmp;
+        return (int32_t)(w < (1 << 30) - 1 ? w : (1 << 30) - 1);
+    };
+
+    int64_t ow = 0;
+    out_off[0] = 0;
+    std::vector<int64_t> a;
+    std::vector<int32_t> w;
+    std::vector<int32_t> first_;
+    std::vector<uint8_t> kept;
+    std::vector<int64_t> chains_idx;
+    for (int64_t r = 0; r < n_reads; ++r) {
+        a.clear();
+        for (int64_t c = chain_off[r]; c < chain_off[r + 1]; ++c) {
+            if (chain_weight(c) >= min_chain_weight) a.push_back(c);
+        }
+        if (a.empty()) { out_off[r + 1] = ow; continue; }
+        // weights cached by global index via a map over the read's range
+        std::vector<int32_t> wcache(chain_off[r + 1] - chain_off[r]);
+        for (int64_t c = chain_off[r]; c < chain_off[r + 1]; ++c)
+            wcache[c - chain_off[r]] = chain_weight(c);
+        auto W = [&](int64_t c) { return wcache[c - chain_off[r]]; };
+        ks_introsort_idx(a.data(), (int64_t)a.size(),
+                         [&](int64_t x, int64_t y) { return W(x) > W(y); });
+        int64_t n = (int64_t)a.size();
+        w.assign(n, 0);
+        first_.assign(n, -1);
+        kept.assign(n, 0);
+        for (int64_t i = 0; i < n; ++i) w[i] = W(a[i]);
+        auto qb0 = [&](int64_t i) { return seed_qbeg[soff[a[i]]]; };
+        auto qeL = [&](int64_t i) {
+            int64_t s = soff[a[i] + 1] - 1;
+            return (int64_t)seed_qbeg[s] + seed_len[s];
+        };
+        chains_idx.assign(1, 0);
+        kept[0] = 3;
+        for (int64_t i = 1; i < n; ++i) {
+            bool large_ovlp = false, broke = false;
+            for (int64_t jj : chains_idx) {
+                int64_t b_max = std::max((int64_t)qb0(jj), (int64_t)qb0(i));
+                int64_t e_min = std::min(qeL(jj), qeL(i));
+                if (e_min > b_max
+                        && (!chain_alt[a[jj]] || chain_alt[a[i]])) {
+                    int64_t li = qeL(i) - qb0(i);
+                    int64_t lj = qeL(jj) - qb0(jj);
+                    int64_t min_l = std::min(li, lj);
+                    if ((float)(e_min - b_max)
+                                >= (float)min_l * mask_level
+                            && min_l < max_chain_gap) {
+                        large_ovlp = true;
+                        if (first_[jj] < 0) first_[jj] = (int32_t)i;
+                        if ((float)w[i] < (float)w[jj] * drop_ratio
+                                && w[jj] - w[i] >= (min_seed_len << 1)) {
+                            broke = true;
+                            break;
+                        }
+                    }
+                }
+            }
+            if (!broke) {
+                chains_idx.push_back(i);
+                kept[i] = large_ovlp ? 2 : 3;
+            }
+        }
+        for (int64_t jj : chains_idx)
+            if (first_[jj] >= 0) kept[first_[jj]] = 1;
+        // cap extended chains (bwamem.cpp:597-603)
+        int64_t kcnt = 0, i = 0;
+        for (; i < n; ++i) {
+            if (kept[i] == 1 || kept[i] == 2) {
+                if (++kcnt >= max_chain_extend) break;
+            }
+        }
+        for (int64_t i2 = i; i2 < n; ++i2)
+            if (kept[i2] < 3) kept[i2] = 0;
+        for (int64_t i2 = 0; i2 < n; ++i2) {
+            if (kept[i2] == 0) continue;
+            out_idx[ow] = a[i2];
+            out_w[ow] = w[i2];
+            out_kept[ow] = kept[i2];
+            ++ow;
+        }
+        out_off[r + 1] = ow;
     }
 }

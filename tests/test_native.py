@@ -166,3 +166,39 @@ def test_fastq_reader_http_and_gz_inputs():
             assert got == want, path
     finally:
         httpd.shutdown()
+
+
+def test_chain_and_filter_batch_native_parity():
+    """C++ chain+filter == python chain_seeds -> chain_filter, including
+    the ks_introsort tie permutation and kept/first cap logic."""
+    import numpy as np
+    from bwamem2_tpu.align import chain as chain_mod
+    from bwamem2_tpu.align.seeding import collect_smems, encode_reads
+    from bwamem2_tpu.index.fmindex import FMIndex
+    from bwamem2_tpu.io.fastq import FastxReader, read_chunk
+    from bwamem2_tpu.options import MemOptions
+    from conftest import DATA, FIXTURES
+    import os
+
+    fm = FMIndex.load(os.path.join(FIXTURES, "ref_small.fa"))
+    opt = MemOptions().finalize()
+    reads = read_chunk(FastxReader(os.path.join(DATA, "reads_se.fq")),
+                       None, 10**9)[:150]
+    encs = encode_reads([r.seq for r in reads])
+    smems = collect_smems(fm, encs, opt)
+    (allpos, smem_off, smem_m, smem_n, smem_s,
+     occ_off) = chain_mod.sa_positions_batch(opt, smems)
+    coords = np.array([fm.get_sa_entry(int(p)) for p in allpos], np.int64)
+    got = chain_mod.chain_and_filter_batch_native(
+        fm, opt, encs, smem_off, smem_m, smem_n, smem_s, occ_off, coords)
+    for seqid, (enc, sm) in enumerate(zip(encs, smems)):
+        want = chain_mod.chain_filter(
+            opt, chain_mod.chain_seeds(fm, opt, seqid, len(enc), sm,
+                                       coords=None))
+        g = got[seqid]
+        assert len(g) == len(want), seqid
+        for cg, cw in zip(g, want):
+            assert (cg.pos, cg.rid, cg.is_alt, cg.w, cg.kept) == \
+                (cw.pos, cw.rid, cw.is_alt, cw.w, cw.kept)
+            assert [(s.rbeg, s.qbeg, s.len) for s in cg.seeds] == \
+                [(s.rbeg, s.qbeg, s.len) for s in cw.seeds]
