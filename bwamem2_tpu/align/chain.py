@@ -74,21 +74,6 @@ def test_and_merge(opt, l_pac: int, c: Chain, p: Seed, seed_rid: int) -> bool:
     return False
 
 
-def sa_positions(opt, smems: list[tuple]) -> np.ndarray:
-    """BWT positions whose SA entries chaining will need, in consumption
-    order (get_sa_entries sampling: stride s/max_occ, capped at max_occ)."""
-    pos = []
-    for (_, m, n, k, _, s) in smems:
-        step = s // opt.max_occ if s > opt.max_occ else 1
-        count = 0
-        j = 0
-        while j < s and count < opt.max_occ:
-            pos.append(k + j)
-            j += step
-            count += 1
-    return np.array(pos, dtype=np.int64)
-
-
 def sa_positions_batch(opt, smems_per_read):
     """Chunk-flat version of sa_positions: BWT positions in consumption
     order plus the per-SMEM/per-read offset tables the native chainer
@@ -118,22 +103,40 @@ def sa_positions_batch(opt, smems_per_read):
             np.array(s, np.int64), occ_off)
 
 
+def _ctg_arrays(fm: FMIndex):
+    """Contig offset / is-alt arrays for the native chainer, cached on
+    the index (rebuilt only if the contig list changes)."""
+    cached = getattr(fm, "_ctg_arrays_cache", None)
+    if cached is not None and len(cached[0]) == fm.bns.n_seqs:
+        return cached
+    ctg_off = np.fromiter((a.offset for a in fm.bns.anns), np.int64,
+                          fm.bns.n_seqs)
+    ctg_alt = np.fromiter((1 if a.is_alt else 0 for a in fm.bns.anns),
+                          np.uint8, fm.bns.n_seqs)
+    fm._ctg_arrays_cache = (ctg_off, ctg_alt)
+    return ctg_off, ctg_alt
+
+
+def _chain_seeds_arrays(fm: FMIndex, opt, encs, smem_off, smem_m, smem_n,
+                        smem_s, occ_off, coords):
+    from ..native import chain_seeds_batch
+    lseq = np.fromiter((len(e) for e in encs), np.int32, len(encs))
+    ctg_off, ctg_alt = _ctg_arrays(fm)
+    return chain_seeds_batch(
+        lseq, smem_off, smem_m, smem_n, smem_s, occ_off, coords,
+        fm.l_pac, ctg_off, ctg_alt, opt)
+
+
 def chain_and_filter_batch_native(fm: FMIndex, opt, encs, smem_off,
                                   smem_m, smem_n, smem_s, occ_off,
                                   coords: np.ndarray) -> list[list[Chain]]:
     """mem_chain_seeds + mem_chain_flt for a whole chunk in C++ (both
     bit-identical to the python spec incl. ks_introsort tie permutation);
     Chain/Seed objects are built only for the surviving chains."""
-    from ..native import chain_filter_batch, chain_seeds_batch
-    lseq = np.fromiter((len(e) for e in encs), np.int32, len(encs))
-    ctg_off = np.fromiter((a.offset for a in fm.bns.anns), np.int64,
-                          fm.bns.n_seqs)
-    ctg_alt = np.fromiter((1 if a.is_alt else 0 for a in fm.bns.anns),
-                          np.uint8, fm.bns.n_seqs)
+    from ..native import chain_filter_batch
     (chain_off, chain_pos, chain_rid, chain_alt, chain_frac, chain_nseeds,
-     seed_rbeg, seed_qbeg, seed_len) = chain_seeds_batch(
-        lseq, smem_off, smem_m, smem_n, smem_s, occ_off, coords,
-        fm.l_pac, ctg_off, ctg_alt, opt)
+     seed_rbeg, seed_qbeg, seed_len) = _chain_seeds_arrays(
+        fm, opt, encs, smem_off, smem_m, smem_n, smem_s, occ_off, coords)
     out_off, out_idx, out_w, out_kept = chain_filter_batch(
         chain_off, chain_alt, chain_nseeds, seed_rbeg, seed_qbeg,
         seed_len, opt)
@@ -165,16 +168,9 @@ def chain_seeds_batch_native(fm: FMIndex, opt, encs, smem_off, smem_m,
                              coords: np.ndarray) -> list[list[Chain]]:
     """mem_chain_seeds for a whole chunk via the C++ port (bit-identical to
     chain_seeds per read; parity-tested)."""
-    from ..native import chain_seeds_batch
-    lseq = np.fromiter((len(e) for e in encs), np.int32, len(encs))
-    ctg_off = np.fromiter((a.offset for a in fm.bns.anns), np.int64,
-                          fm.bns.n_seqs)
-    ctg_alt = np.fromiter((1 if a.is_alt else 0 for a in fm.bns.anns),
-                          np.uint8, fm.bns.n_seqs)
     (chain_off, chain_pos, chain_rid, chain_alt, chain_frac, chain_nseeds,
-     seed_rbeg, seed_qbeg, seed_len) = chain_seeds_batch(
-        lseq, smem_off, smem_m, smem_n, smem_s, occ_off, coords,
-        fm.l_pac, ctg_off, ctg_alt, opt)
+     seed_rbeg, seed_qbeg, seed_len) = _chain_seeds_arrays(
+        fm, opt, encs, smem_off, smem_m, smem_n, smem_s, occ_off, coords)
     out: list[list[Chain]] = []
     sw = 0
     for r in range(len(encs)):

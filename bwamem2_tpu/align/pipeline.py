@@ -70,7 +70,10 @@ class Aligner:
         if self.backend is not None:
             kw = dict(left_kernel=self.backend.left_bsw_kernel,
                       right_kernel=self.backend.right_bsw_kernel)
-            if getattr(self.backend, "_bsw", None) is not None:
+            max_len = max((len(e) for e in encs), default=0)
+            if (getattr(self.backend, "_bsw", None) is not None
+                    and max_len <= getattr(self.backend,
+                                           "MAX_DEVICE_READ_LEN", 0)):
                 # descriptor path active: in-cap pairs skip sequence copies
                 from ..ops.bsw import QCAP, TCAP
                 kw["device_caps"] = (QCAP, TCAP)

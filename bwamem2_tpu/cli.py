@@ -275,11 +275,14 @@ def main_mem(argv: list[str]) -> int:
             import jax
             from .ops.backend import DeviceBackend
             devs = jax.devices()
-            if len(devs) > 1:
+            if len(devs) > 1 and shard is None:
                 # multi-chip data parallelism: replicate the index on each
-                # chip, round-robin chunks (SURVEY §5.8 — zero collectives)
+                # chip, round-robin chunks (SURVEY §5.8 — zero collectives;
+                # sharded runs use one chip per host process instead)
                 aligners = [Aligner(fm, opt,
-                                    backend=DeviceBackend(fm, opt, device=d),
+                                    backend=DeviceBackend(
+                                        fm, opt, device=d,
+                                        index_prefix=prefix),
                                     rg_id=rg_id, verbose=verbose)
                             for d in devs[:8]]
                 backend = aligners[0].backend
@@ -287,7 +290,7 @@ def main_mem(argv: list[str]) -> int:
                     sys.stderr.write(
                         f"* data-parallel over {len(aligners)} chips\n")
             else:
-                backend = DeviceBackend(fm, opt)
+                backend = DeviceBackend(fm, opt, index_prefix=prefix)
         except Exception as e:  # pragma: no cover
             sys.stderr.write(f"[W] device backend unavailable ({e}); "
                              "using host path\n")
@@ -304,7 +307,9 @@ def main_mem(argv: list[str]) -> int:
         # -t maps to chunk-pipeline compute workers (capped: host python
         # saturates one GIL around 3-4); output is order-identical anyway
         n_dev = len(aligners) if isinstance(aligners, list) else 1
-        nw = 1 if no_mt_io else max(min(max(opt.n_threads, 1), 6), n_dev)
+        # 4 workers is the measured single-chip optimum (host python
+        # saturates one GIL); multi-chip floors at one worker per chip
+        nw = 1 if no_mt_io else max(min(max(opt.n_threads, 1), 4), n_dev)
         run_pipeline(aligners, ks1, ks2, task_size, out, pes0=pes0,
                      copy_comment=copy_comment,
                      pipeline_depth=1 if no_mt_io else 2, verbose=verbose,

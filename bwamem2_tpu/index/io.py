@@ -127,8 +127,37 @@ def open_maybe_gz(path: str):
         import io as _io
         import urllib.request
         resp = urllib.request.urlopen(path)
-        buf = _io.BufferedReader(resp)
-        if buf.peek(2)[:2] == b"\x1f\x8b":
+        # read exactly 2 magic bytes (peek may return fewer on a slow
+        # stream), then replay them ahead of the remaining body
+        head = b""
+        while len(head) < 2:
+            b = resp.read(2 - len(head))
+            if not b:
+                break
+            head += b
+
+        class _Replay(_io.RawIOBase):
+            def __init__(self, first, rest):
+                self._first = first
+                self._rest = rest
+
+            def readable(self):
+                return True
+
+            def readinto(self, b):
+                if self._first:
+                    n = min(len(b), len(self._first))
+                    b[:n] = self._first[:n]
+                    self._first = self._first[n:]
+                    return n
+                data = self._rest.read(len(b))
+                if not data:
+                    return 0
+                b[: len(data)] = data
+                return len(data)
+
+        buf = _io.BufferedReader(_Replay(head, resp))
+        if head[:2] == b"\x1f\x8b":
             return gzip.open(buf, "rb")
         return buf
     with open(path, "rb") as f:

@@ -1056,14 +1056,12 @@ extern "C" void chain_filter_batch(
     std::vector<int64_t> chains_idx;
     for (int64_t r = 0; r < n_reads; ++r) {
         a.clear();
+        std::vector<int32_t> wcache(chain_off[r + 1] - chain_off[r]);
         for (int64_t c = chain_off[r]; c < chain_off[r + 1]; ++c) {
-            if (chain_weight(c) >= min_chain_weight) a.push_back(c);
+            wcache[c - chain_off[r]] = chain_weight(c);
+            if (wcache[c - chain_off[r]] >= min_chain_weight) a.push_back(c);
         }
         if (a.empty()) { out_off[r + 1] = ow; continue; }
-        // weights cached by global index via a map over the read's range
-        std::vector<int32_t> wcache(chain_off[r + 1] - chain_off[r]);
-        for (int64_t c = chain_off[r]; c < chain_off[r + 1]; ++c)
-            wcache[c - chain_off[r]] = chain_weight(c);
         auto W = [&](int64_t c) { return wcache[c - chain_off[r]]; };
         ks_introsort_idx(a.data(), (int64_t)a.size(),
                          [&](int64_t x, int64_t y) { return W(x) > W(y); });

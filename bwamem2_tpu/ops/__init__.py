@@ -47,6 +47,8 @@ def fori_unroll2(lo: int, hi: int, body, st):
     loops on this backend, and halving the trip count claws most of it
     back.  `lo`/`hi` must be static."""
     import jax as _j
+    if hi <= lo:
+        return st
     n2 = (hi - lo) // 2
 
     def b2(i, s):

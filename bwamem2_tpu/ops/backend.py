@@ -77,7 +77,11 @@ class DeviceBackend:
         if max((len(e) for e in encs), default=0) > self.MAX_DEVICE_READ_LEN:
             # ultra-long reads (pacbio/ont presets): the exact host oracle;
             # the per-end device walk is O(L^2) and its compact outputs
-            # carry int16 coordinates
+            # carry int16 coordinates.  No read grid for this chunk: the
+            # extension/rescue descriptor paths must not engage (a stale
+            # grid from a previous chunk would silently corrupt output).
+            if self._bsw is not None:
+                self._bsw.encj = None
             from ..align.seeding import collect_smems as host_collect
             return host_collect(self.fm, encs, opt)
         enc, lens = _pad_reads(encs)

@@ -15,6 +15,7 @@ set -e
 SRC=${1:-/root/reference}
 REPO=$(cd "$(dirname "$0")/.." && pwd)
 WORK=$(mktemp -d)
+trap 'rm -rf "$WORK"' EXIT
 cp -r "$SRC" "$WORK/refsrc"
 SS="$WORK/refsrc/ext/safestringlib"
 mkdir -p "$SS/include"
