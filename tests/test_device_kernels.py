@@ -232,3 +232,34 @@ def test_pipeline_worker_error_propagates(fm):
     with pytest.raises(RuntimeError, match="boom"):
         run_pipeline(Boom(), ks, None, 1000, io.StringIO(), verbose=0,
                      n_workers=2)
+
+
+def test_long_read_chunk_after_short_chunk(fm, backend):
+    """A >32kb-read chunk after a normal chunk must not reuse the previous
+    chunk's device read grid (stale-grid corruption) — runs the host-oracle
+    path and matches it exactly."""
+    opt = MemOptions().finalize()
+    rng = np.random.default_rng(5)
+    # normal chunk attaches a read grid
+    short = [fm.ref_string[100:201].astype(np.uint8).copy()]
+    al = Aligner(fm, opt, backend=backend, verbose=0)
+
+    class R:
+        def __init__(self, seq):
+            self.name = "r"
+            self.seq = "".join("ACGTN"[c] for c in seq)
+            self.qual = "I" * len(seq)
+            self.comment = None
+            self.sam = None
+
+    al.process([R(short[0])], 0)
+    # long chunk: must take the oracle path end to end
+    pos = int(rng.integers(0, fm.l_pac - 34000))
+    long_seq = fm.ref_string[pos:pos + 33000].astype(np.uint8).copy()
+    long_seq[rng.integers(0, 33000, 5)] = 1
+    r_dev = R(long_seq)
+    al.process([r_dev], 0)
+    r_host = R(long_seq)
+    Aligner(fm, opt, backend=None, verbose=0).process([r_host], 0)
+    assert r_dev.sam == r_host.sam
+    assert r_dev.sam.split("\t")[5] != "*"  # it actually aligned
