@@ -26,12 +26,16 @@ from .seeding import collect_smems, encode_reads
 
 class Aligner:
     def __init__(self, fm: FMIndex, opt: MemOptions, backend=None,
-                 rg_id: str | None = None, verbose: int = 3):
+                 rg_id: str | None = None, verbose: int = 3,
+                 native_rt: bool = True):
         self.fm = fm
         self.opt = opt
         self.backend = backend  # None = host oracle path
         self.rg_id = rg_id
         self.verbose = verbose
+        # native host runtime (runtime.cpp): chunk-batched dedup/finalize/SAM
+        # in C++; False = the pure-Python spec path (the differential oracle)
+        self.native_rt = native_rt
 
     # ---- phase 1: seeds -> chains ----
     def kernel1(self, encs):
@@ -64,7 +68,7 @@ class Aligner:
         return chains_per_read
 
     # ---- phase 2: chains -> alignment regions ----
-    def kernel2(self, encs, chains_per_read):
+    def kernel2(self, reads, encs, chains_per_read):
         fm, opt = self.fm, self.opt
         kw = {}
         if self.backend is not None:
@@ -80,6 +84,14 @@ class Aligner:
         with PROF("extension.bsw"):
             regs_per_read = extend_mod.extend_chains(fm, opt, encs,
                                                      chains_per_read, **kw)
+        if self.native_rt:
+            # chunk-batched native dedup (rt_dedup_patch_batch); returns the
+            # flat SoA container consumed directly by the native finalizers
+            from ..native import hostrt
+            with PROF("dedup_patch"):
+                fr = hostrt.FlatRegs.from_lists(regs_per_read)
+                hostrt.dedup_patch_batch(fm, opt, reads, fr)
+            return fr
         out = []
         with PROF("dedup_patch"):
             for seqid, (enc, regs) in enumerate(zip(encs, regs_per_read)):
@@ -106,7 +118,21 @@ class Aligner:
         """Align one chunk; fills read.sam for every read."""
         encs = encode_reads([r.seq for r in reads])
         chains_per_read = self.kernel1(encs)
-        regs_per_read = self.kernel2(encs, chains_per_read)
+        regs_per_read = self.kernel2(reads, encs, chains_per_read)
+        from ..native import hostrt
+        if isinstance(regs_per_read, hostrt.FlatRegs):
+            fr = regs_per_read
+            if self.opt.flag & MEM_F_PE:
+                # PE still runs the Python pairing path (stage 2 pending)
+                regs_per_read = fr.to_lists()
+            else:
+                with PROF("finalize.sam"):
+                    sams = hostrt.finalize_se_batch(
+                        self.fm, self.opt, reads, fr, n_processed,
+                        self.rg_id)
+                    for r, s in zip(reads, sams):
+                        r.sam = s.decode("ascii")
+                return len(reads)
         if self.opt.flag & MEM_F_PE:
             from . import pairing
             with PROF("pestat"):

@@ -16,7 +16,9 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_HERE, "libbwamem2_core.so")
-_SRC_PATH = os.path.join(_HERE, "core.cpp")
+_SRC_PATHS = [os.path.join(_HERE, "core.cpp"),
+              os.path.join(_HERE, "runtime.cpp")]
+_HDR_PATHS = [os.path.join(_HERE, "nsort.h")]
 _lock = threading.Lock()
 _lib = None
 
@@ -24,7 +26,7 @@ _lib = None
 def _build() -> None:
     subprocess.run(
         ["g++", "-O3", "-march=native", "-fPIC", "-std=c++17", "-shared",
-         _SRC_PATH, "-o", _LIB_PATH + ".tmp"],
+         *_SRC_PATHS, "-o", _LIB_PATH + ".tmp"],
         check=True, capture_output=True,
     )
     os.replace(_LIB_PATH + ".tmp", _LIB_PATH)
@@ -37,8 +39,10 @@ def get_lib() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
+        src_mtime = max(os.path.getmtime(p)
+                        for p in _SRC_PATHS + _HDR_PATHS)
         if (not os.path.exists(_LIB_PATH)
-                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH)):
+                or os.path.getmtime(_LIB_PATH) < src_mtime):
             _build()
         lib = ctypes.CDLL(_LIB_PATH)
 

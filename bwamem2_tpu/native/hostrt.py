@@ -1,0 +1,297 @@
+"""ctypes bindings + marshalling for the native host runtime (runtime.cpp).
+
+The runtime consumes whole chunks as flat SoA arrays (AlnReg fields), a
+blob-of-strings reads view, and a reference-metadata view, and produces SAM
+text — replacing align/finalize.py's per-read Python on the hot path.  The
+Python implementations remain the behavioral spec and fallback; tests assert
+byte-identity between both paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from ctypes import (POINTER, c_char_p, c_float, c_int8, c_int32, c_int64,
+                    c_uint8, c_void_p)
+
+import numpy as np
+
+from . import get_lib
+
+_pi64 = POINTER(c_int64)
+_pi32 = POINTER(c_int32)
+_pf32 = POINTER(c_float)
+_pu8 = POINTER(c_uint8)
+
+
+class MemOptC(ctypes.Structure):
+    _fields_ = [
+        ("a", c_int32), ("b", c_int32), ("o_del", c_int32),
+        ("e_del", c_int32), ("o_ins", c_int32), ("e_ins", c_int32),
+        ("pen_unpaired", c_int32), ("pen_clip5", c_int32),
+        ("pen_clip3", c_int32), ("w", c_int32), ("zdrop", c_int32),
+        ("T", c_int32), ("flag", c_int32), ("min_seed_len", c_int32),
+        ("max_matesw", c_int32), ("max_XA_hits", c_int32),
+        ("max_XA_hits_alt", c_int32), ("mapQ_coef_fac", c_int32),
+        ("max_chain_gap", c_int32), ("max_ins", c_int32),
+        ("_unused", c_int32),
+        ("mask_level", c_float), ("drop_ratio", c_float),
+        ("XA_drop_ratio", c_float), ("mask_level_redun", c_float),
+        ("mapQ_coef_len", c_float),
+        ("mat", c_int8 * 25),
+    ]
+
+
+class BnsC(ctypes.Structure):
+    _fields_ = [
+        ("l_pac", c_int64), ("n_anns", c_int32),
+        ("ann_off", _pi64), ("ann_len", _pi64), ("ann_alt", _pu8),
+        ("name_blob", c_char_p), ("name_off", _pi64),
+        ("anno_blob", c_char_p), ("anno_off", _pi64),
+        ("ref", _pu8),
+    ]
+
+
+class ReadsC(ctypes.Structure):
+    _fields_ = [
+        ("n", c_int64),
+        ("name_blob", c_char_p), ("name_off", _pi64),
+        ("seq_blob", c_char_p), ("seq_off", _pi64),
+        ("qual_blob", c_char_p), ("qual_off", _pi64),
+        ("comment_blob", c_char_p), ("comment_off", _pi64),
+    ]
+
+
+class RegsC(ctypes.Structure):
+    _fields_ = [
+        ("off", _pi64), ("rb", _pi64), ("re", _pi64),
+        ("qb", _pi32), ("qe", _pi32), ("rid", _pi32), ("score", _pi32),
+        ("truesc", _pi32), ("sub", _pi32), ("alt_sc", _pi32),
+        ("csub", _pi32), ("sub_n", _pi32), ("w", _pi32),
+        ("seedcov", _pi32), ("secondary", _pi32), ("secondary_all", _pi32),
+        ("seedlen0", _pi32), ("n_comp", _pi32), ("is_alt", _pi32),
+        ("frac_rep", _pf32),
+    ]
+
+
+_proto_done = False
+
+
+def _lib():
+    global _proto_done
+    lib = get_lib()
+    if not _proto_done:
+        lib.rt_dedup_patch_batch.restype = None
+        lib.rt_dedup_patch_batch.argtypes = [
+            POINTER(BnsC), POINTER(MemOptC), POINTER(ReadsC),
+            POINTER(RegsC)]
+        lib.rt_finalize_se_batch.restype = c_void_p
+        lib.rt_finalize_se_batch.argtypes = [
+            POINTER(BnsC), POINTER(MemOptC), POINTER(ReadsC),
+            POINTER(RegsC), c_int64, c_char_p, c_int64, _pi64, _pi64]
+        lib.rt_free.restype = None
+        lib.rt_free.argtypes = [c_void_p]
+        _proto_done = True
+    return lib
+
+
+def _offsets(lens) -> np.ndarray:
+    off = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    return off
+
+
+def make_opt_c(opt) -> MemOptC:
+    o = MemOptC()
+    for name in ("a", "b", "o_del", "e_del", "o_ins", "e_ins",
+                 "pen_unpaired", "pen_clip5", "pen_clip3", "w", "zdrop", "T",
+                 "flag", "min_seed_len", "max_matesw", "max_XA_hits",
+                 "max_XA_hits_alt", "mapQ_coef_fac", "max_chain_gap",
+                 "max_ins"):
+        setattr(o, name, int(getattr(opt, name)))
+    for name in ("mask_level", "drop_ratio", "XA_drop_ratio",
+                 "mask_level_redun", "mapQ_coef_len"):
+        setattr(o, name, float(getattr(opt, name)))
+    o.mat = (c_int8 * 25)(*opt.mat)
+    return o
+
+
+class BnsView:
+    """Keeps the numpy/bytes buffers referenced for the BnsC lifetime."""
+
+    def __init__(self, fm):
+        bns = fm.bns
+        n = len(bns.anns)
+        self.ann_off = np.array([a.offset for a in bns.anns], np.int64)
+        self.ann_len = np.array([a.length for a in bns.anns], np.int64)
+        self.ann_alt = np.array([1 if a.is_alt else 0 for a in bns.anns],
+                                np.uint8)
+        names = [a.name.encode() for a in bns.anns]
+        annos = [(a.anno or "").encode() for a in bns.anns]
+        self.name_blob = b"".join(names)
+        self.name_off = _offsets([len(s) for s in names])
+        self.anno_blob = b"".join(annos)
+        self.anno_off = _offsets([len(s) for s in annos])
+        self.ref = np.ascontiguousarray(fm.ref_string, np.uint8)
+        c = BnsC()
+        c.l_pac = fm.l_pac
+        c.n_anns = n
+        c.ann_off = self.ann_off.ctypes.data_as(_pi64)
+        c.ann_len = self.ann_len.ctypes.data_as(_pi64)
+        c.ann_alt = self.ann_alt.ctypes.data_as(_pu8)
+        c.name_blob = self.name_blob
+        c.name_off = self.name_off.ctypes.data_as(_pi64)
+        c.anno_blob = self.anno_blob
+        c.anno_off = self.anno_off.ctypes.data_as(_pi64)
+        c.ref = self.ref.ctypes.data_as(_pu8)
+        self.c = c
+
+
+def bns_view(fm) -> BnsView:
+    v = getattr(fm, "_bns_view", None)
+    if v is None:
+        v = BnsView(fm)
+        fm._bns_view = v
+    return v
+
+
+class ReadsView:
+    def __init__(self, reads):
+        names = [r.name.encode() for r in reads]
+        seqs = [r.seq.encode() for r in reads]
+        quals = [(r.qual or "").encode() for r in reads]
+        comments = [(r.comment or "").encode() for r in reads]
+        self.bufs = (b"".join(names), b"".join(seqs), b"".join(quals),
+                     b"".join(comments))
+        self.offs = (_offsets([len(s) for s in names]),
+                     _offsets([len(s) for s in seqs]),
+                     _offsets([len(s) for s in quals]),
+                     _offsets([len(s) for s in comments]))
+        c = ReadsC()
+        c.n = len(reads)
+        c.name_blob, c.seq_blob, c.qual_blob, c.comment_blob = self.bufs
+        c.name_off = self.offs[0].ctypes.data_as(_pi64)
+        c.seq_off = self.offs[1].ctypes.data_as(_pi64)
+        c.qual_off = self.offs[2].ctypes.data_as(_pi64)
+        c.comment_off = self.offs[3].ctypes.data_as(_pi64)
+        self.c = c
+
+
+_I32_FIELDS = ("qb", "qe", "rid", "score", "truesc", "sub", "alt_sc",
+               "csub", "sub_n", "w", "seedcov", "secondary",
+               "secondary_all", "seedlen0", "n_comp", "is_alt")
+
+
+class FlatRegs:
+    """Chunk-wide flat AlnReg SoA (mem_alnreg_t arrays)."""
+
+    def __init__(self, n_reads: int, n_regs: int):
+        self.off = np.zeros(n_reads + 1, np.int64)
+        self.rb = np.zeros(n_regs, np.int64)
+        self.re = np.zeros(n_regs, np.int64)
+        for f in _I32_FIELDS:
+            setattr(self, f, np.zeros(n_regs, np.int32))
+        self.frac_rep = np.zeros(n_regs, np.float32)
+
+    @classmethod
+    def from_lists(cls, regs_per_read) -> "FlatRegs":
+        """Flatten per-read AlnReg object lists (entries with qe > qb only,
+        matching the sentinel filter at bwamem.cpp:1141-1147)."""
+        kept = [[r for r in regs if r.qe > r.qb] for regs in regs_per_read]
+        n = sum(len(k) for k in kept)
+        fr = cls(len(kept), n)
+        j = 0
+        for i, regs in enumerate(kept):
+            for r in regs:
+                fr.rb[j] = r.rb
+                fr.re[j] = r.re
+                fr.qb[j] = r.qb
+                fr.qe[j] = r.qe
+                fr.rid[j] = r.rid
+                fr.score[j] = r.score
+                fr.truesc[j] = r.truesc
+                fr.sub[j] = r.sub
+                fr.alt_sc[j] = r.alt_sc
+                fr.csub[j] = r.csub
+                fr.sub_n[j] = r.sub_n
+                fr.w[j] = r.w
+                fr.seedcov[j] = r.seedcov
+                fr.secondary[j] = r.secondary
+                fr.secondary_all[j] = r.secondary_all
+                fr.seedlen0[j] = r.seedlen0
+                fr.n_comp[j] = r.n_comp
+                fr.is_alt[j] = r.is_alt
+                fr.frac_rep[j] = r.frac_rep
+                j += 1
+            fr.off[i + 1] = j
+        return fr
+
+    def to_lists(self):
+        """Back to per-read AlnReg object lists (PE path interop)."""
+        from ..align.extend import AlnReg
+        out = []
+        for i in range(len(self.off) - 1):
+            regs = []
+            for j in range(int(self.off[i]), int(self.off[i + 1])):
+                regs.append(AlnReg(
+                    rb=int(self.rb[j]), re=int(self.re[j]),
+                    qb=int(self.qb[j]), qe=int(self.qe[j]),
+                    rid=int(self.rid[j]), score=int(self.score[j]),
+                    truesc=int(self.truesc[j]), sub=int(self.sub[j]),
+                    alt_sc=int(self.alt_sc[j]), csub=int(self.csub[j]),
+                    sub_n=int(self.sub_n[j]), w=int(self.w[j]),
+                    seedcov=int(self.seedcov[j]),
+                    secondary=int(self.secondary[j]),
+                    secondary_all=int(self.secondary_all[j]),
+                    seedlen0=int(self.seedlen0[j]),
+                    n_comp=int(self.n_comp[j]),
+                    is_alt=int(self.is_alt[j]),
+                    frac_rep=float(self.frac_rep[j])))
+            out.append(regs)
+        return out
+
+    def c_struct(self) -> RegsC:
+        c = RegsC()
+        c.off = self.off.ctypes.data_as(_pi64)
+        c.rb = self.rb.ctypes.data_as(_pi64)
+        c.re = self.re.ctypes.data_as(_pi64)
+        for f in _I32_FIELDS:
+            setattr(c, f, getattr(self, f).ctypes.data_as(_pi32))
+        c.frac_rep = self.frac_rep.ctypes.data_as(_pf32)
+        return c
+
+
+def dedup_patch_batch(fm, opt, reads, fr: FlatRegs) -> None:
+    """mem_sort_dedup_patch + ALT marking over the chunk, in place."""
+    lib = _lib()
+    bv = bns_view(fm)
+    oc = make_opt_c(opt)
+    rv = ReadsView(reads)
+    rc = fr.c_struct()
+    lib.rt_dedup_patch_batch(ctypes.byref(bv.c), ctypes.byref(oc),
+                             ctypes.byref(rv.c), ctypes.byref(rc))
+
+
+def finalize_se_batch(fm, opt, reads, fr: FlatRegs, n_processed: int,
+                      rg_id: str | None) -> list[bytes]:
+    """mem_mark_primary_se + mem_reg2sam for the chunk; returns per-read
+    SAM text (bytes, possibly multi-line)."""
+    lib = _lib()
+    bv = bns_view(fm)
+    oc = make_opt_c(opt)
+    rv = ReadsView(reads)
+    rc = fr.c_struct()
+    per_len = np.zeros(len(reads), np.int64)
+    out_len = c_int64()
+    rg = rg_id.encode() if rg_id else None
+    ptr = lib.rt_finalize_se_batch(
+        ctypes.byref(bv.c), ctypes.byref(oc), ctypes.byref(rv.c),
+        ctypes.byref(rc), n_processed, rg, len(rg) if rg else 0,
+        per_len.ctypes.data_as(_pi64), ctypes.byref(out_len))
+    blob = ctypes.string_at(ptr, out_len.value)
+    lib.rt_free(ptr)
+    out = []
+    pos = 0
+    for ln in per_len.tolist():
+        out.append(blob[pos:pos + ln])
+        pos += ln
+    return out

@@ -1,0 +1,1025 @@
+// bwamem2_tpu native host runtime: post-extension region processing and SAM
+// text generation, batched over a whole chunk with flat SoA arrays.
+//
+// This replaces the per-read Python of align/finalize.py (and, for PE,
+// align/pairing.py) on the hot path.  The *behavioral spec* is that Python —
+// itself golden-tested bit-identical against the reference binary:
+//   sort_dedup_patch / patch_reg     bwamem.cpp:292-353 / 175-225
+//   mem_mark_primary_se (+_core)     bwamem.cpp:1392-1464
+//   mem_approx_mapq_se               bwamem.cpp:1470-1494
+//   mem_reorder_primary5             bwamem.cpp:1496-1518
+//   mem_reg2aln + bwa_gen_cigar2     bwamem.cpp:1732-1805, bwa.cpp:260-347
+//   mem_aln2sam / mem_reg2sam        bwamem.cpp:1592-1730 / 1521-1577
+//   mem_gen_alt (XA)                 bwamem_extra.cpp:122-183
+//   mem_pair / mem_matesw / sam_pe   bwamem_pair.cpp:285-346/150-283/353-551
+//
+// Design notes (this file is NOT a transliteration of the reference):
+//   * chunk-batched flat arrays in, one SAM byte blob out — the data layout
+//     follows this repo's chain_seeds_batch/chain_filter_batch style, not
+//     the reference's per-thread kv vectors;
+//   * all float comparisons that the reference does in C `float` are done in
+//     float here (Python needed numpy.float32 shims for the same effect);
+//   * klib introsort tie permutations via nsort.h (shared with core.cpp).
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <cstdio>
+#include <cmath>
+#include <string>
+#include <vector>
+#include <algorithm>
+
+#include "nsort.h"
+
+typedef int64_t i64;
+typedef int32_t i32;
+typedef uint64_t u64;
+typedef uint8_t u8;
+
+// scalar kernels from core.cpp (same shared library)
+extern "C" int ksw_global(int qlen, const uint8_t *query, int tlen,
+                          const uint8_t *target, int m, const int8_t *mat,
+                          int o_del, int e_del, int o_ins, int e_ins, int w,
+                          int32_t *n_cigar, uint32_t *cigar);
+extern "C" void ksw_align(int qlen, const uint8_t *query, int tlen,
+                          const uint8_t *target, int m, const int8_t *mat,
+                          int o_del, int e_del, int o_ins, int e_ins,
+                          int xtra, int32_t *out7);
+
+namespace {
+
+constexpr i32 INT_MAX_C = 2147483647;
+constexpr double MEM_MAPQ_COEF = 30.0;
+constexpr float PATCH_MAX_R_BW = 0.05f;
+constexpr double PATCH_MIN_SC_RATIO = 0.90;
+
+// option mirror of options.MemOptions (mem_opt_t, bwamem.h:76-108); field
+// order must match the ctypes.Structure in native/__init__.py
+struct MemOptC {
+    i32 a, b, o_del, e_del, o_ins, e_ins;
+    i32 pen_unpaired, pen_clip5, pen_clip3;
+    i32 w, zdrop, T, flag, min_seed_len;
+    i32 max_matesw, max_XA_hits, max_XA_hits_alt, mapQ_coef_fac;
+    i32 max_chain_gap, max_ins, min_seed_len_x_a_unused;
+    float mask_level, drop_ratio, XA_drop_ratio, mask_level_redun,
+          mapQ_coef_len;
+    int8_t mat[25];
+};
+
+// flag bits (bwamem.h:62-73)
+constexpr i32 MEM_F_PE = 0x2, MEM_F_NOPAIRING = 0x4, MEM_F_ALL = 0x8,
+              MEM_F_NO_MULTI = 0x10, MEM_F_NO_RESCUE = 0x20,
+              MEM_F_REF_HDR = 0x100, MEM_F_SOFTCLIP = 0x200,
+              MEM_F_PRIMARY5 = 0x800, MEM_F_KEEP_SUPP_MAPQ = 0x1000;
+
+// reference metadata view (bntseq_t analog; see index/io.py:BntSeq)
+struct BnsC {
+    i64 l_pac;
+    i32 n_anns;
+    const i64 *ann_off;
+    const i64 *ann_len;
+    const u8 *ann_alt;
+    const char *name_blob; const i64 *name_off;   // n_anns+1 offsets
+    const char *anno_blob; const i64 *anno_off;   // n_anns+1 offsets
+    const u8 *ref;                                // doubled genome .0123
+};
+
+// read batch view (bseq1_t analog)
+struct ReadsC {
+    i64 n;
+    const char *name_blob;    const i64 *name_off;
+    const char *seq_blob;     const i64 *seq_off;
+    const char *qual_blob;    const i64 *qual_off;
+    const char *comment_blob; const i64 *comment_off;
+};
+
+// flat alignment regions, read-major (mem_alnreg_t analog, mutable)
+struct RegsC {
+    i64 *off;            // n_reads+1
+    i64 *rb, *re;
+    i32 *qb, *qe, *rid, *score, *truesc, *sub, *alt_sc, *csub, *sub_n,
+        *w, *seedcov, *secondary, *secondary_all, *seedlen0, *n_comp,
+        *is_alt;
+    float *frac_rep;
+};
+
+struct AlnReg {
+    i64 rb, re;
+    i32 qb, qe, rid, score, truesc, sub, alt_sc, csub, sub_n, w, seedcov,
+        secondary, secondary_all, seedlen0, n_comp, is_alt;
+    float frac_rep;
+    u64 hash;
+};
+
+struct Aln {   // mem_aln_t analog (finalize.py:Aln)
+    i64 pos = -1;
+    i32 rid = -1, flag = 0, mapq = 0, NM = -1, score = -1, sub = -1,
+        alt_sc = 0;
+    bool is_rev = false, is_alt = false;
+    std::vector<uint32_t> cigar;   // len<<4|op, op: M I D S H = 0..4
+    std::string MD;
+    std::string XA;                // empty = none
+    bool has_XA = false;
+};
+
+static u64 hash_64(u64 key) {           // utils.h:117-128
+    key = key + ~(key << 32);
+    key ^= key >> 22;
+    key = key + ~(key << 13);
+    key ^= key >> 8;
+    key = key + (key << 3);
+    key ^= key >> 15;
+    key = key + ~(key << 27);
+    key ^= key >> 31;
+    return key;
+}
+
+static i64 bns_depos(const BnsC &bns, i64 pos, bool *is_rev) {
+    *is_rev = pos >= bns.l_pac;
+    return *is_rev ? (bns.l_pac << 1) - 1 - pos : pos;
+}
+
+static i32 bns_pos2rid(const BnsC &bns, i64 pos_f) {
+    if (pos_f >= bns.l_pac) return -1;
+    i32 lo = 0, hi = bns.n_anns;   // upper_bound over ann_off
+    while (lo < hi) {
+        i32 mid = (lo + hi) >> 1;
+        if (bns.ann_off[mid] <= pos_f) lo = mid + 1; else hi = mid;
+    }
+    return lo - 1;
+}
+
+// bns_get_seq_v2 semantics (bwamem.cpp:1851-1888): direct slice of the
+// doubled genome, empty when bridging the strand boundary
+static const u8 *bns_get_seq(const BnsC &bns, i64 beg, i64 end, i64 *len) {
+    if (end < beg) std::swap(beg, end);
+    if (end > bns.l_pac << 1) end = bns.l_pac << 1;
+    if (beg < 0) beg = 0;
+    if (beg >= bns.l_pac || end <= bns.l_pac) { *len = end - beg; return bns.ref + beg; }
+    *len = 0;
+    return bns.ref;
+}
+
+static const char *ann_name(const BnsC &bns, i32 rid, i64 *len) {
+    *len = bns.name_off[rid + 1] - bns.name_off[rid];
+    return bns.name_blob + bns.name_off[rid];
+}
+
+// ---- text building helpers -------------------------------------------------
+
+static inline void put_str(std::string &o, const char *s, i64 n) {
+    o.append(s, (size_t)n);
+}
+static inline void put_c(std::string &o, char c) { o.push_back(c); }
+static inline void put_int(std::string &o, i64 v) {
+    char buf[24];
+    int n = snprintf(buf, sizeof buf, "%lld", (long long)v);
+    o.append(buf, n);
+}
+
+static const char CIGAR_CHR[] = "MIDSH";
+static const char INT2BASE_F[] = "ACGTN";
+static const char INT2BASE_R[] = "TGCAN";
+
+// ---- bwa_gen_cigar2 (finalize.py:gen_cigar; bwa.cpp:260-347) ---------------
+
+struct CigarRes {
+    bool ok = false;
+    i32 score = 0;
+    std::vector<uint32_t> cigar;
+    i32 NM = -1;
+    std::string MD;
+};
+
+static void gen_cigar(const BnsC &bns, const MemOptC &opt, i32 l_query,
+                      const u8 *query_in, i64 rb, i64 re, i32 w_,
+                      bool want_cigar, CigarRes &out) {
+    out.ok = false;
+    out.cigar.clear();
+    out.MD.clear();
+    out.NM = -1;
+    if (l_query <= 0 || rb >= re || (rb < bns.l_pac && bns.l_pac < re))
+        return;
+    i64 rlen = 0;
+    const u8 *rseq_p = bns_get_seq(bns, rb, re, &rlen);
+    if (re - rb != rlen) return;
+    // reverse both on the reverse strand so indels left-shift on fwd
+    std::vector<u8> qbuf, rbuf;
+    const u8 *query = query_in;
+    if (rb >= bns.l_pac) {
+        qbuf.assign(query_in, query_in + l_query);
+        std::reverse(qbuf.begin(), qbuf.end());
+        rbuf.assign(rseq_p, rseq_p + rlen);
+        std::reverse(rbuf.begin(), rbuf.end());
+        query = qbuf.data();
+        rseq_p = rbuf.data();
+    }
+    i32 score;
+    i32 n_cigar = 0;
+    if (l_query == re - rb && w_ == 0) {
+        out.cigar.push_back(((uint32_t)l_query << 4) | 0);
+        n_cigar = 1;
+        score = 0;
+        for (i32 i = 0; i < l_query; ++i)
+            score += opt.mat[rseq_p[i] * 5 + query[i]];
+    } else {
+        i32 max_ins = (i32)((double)(((l_query + 1) >> 1) * opt.mat[0]
+                                     - opt.o_ins) / opt.e_ins + 1.0);
+        i32 max_del = (i32)((double)(((l_query + 1) >> 1) * opt.mat[0]
+                                     - opt.o_del) / opt.e_del + 1.0);
+        i32 max_gap = std::max(std::max(max_ins, max_del), 1);
+        i32 w = (max_gap + (i32)std::llabs(rlen - l_query) + 1) >> 1;
+        w = std::min(w, w_);
+        i32 min_w = (i32)std::llabs(rlen - l_query) + 3;
+        w = std::max(w, min_w);
+        if (want_cigar) {
+            out.cigar.resize((size_t)(l_query + rlen + 2));
+            i32 nc = 0;
+            score = ksw_global(l_query, query, (i32)rlen, rseq_p, 5, opt.mat,
+                               opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, w,
+                               &nc, out.cigar.data());
+            out.cigar.resize(nc);
+            n_cigar = nc;
+        } else {
+            uint32_t dummy;
+            score = ksw_global(l_query, query, (i32)rlen, rseq_p, 5, opt.mat,
+                               opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, w,
+                               nullptr, &dummy);
+            out.ok = true;
+            out.score = score;
+            return;
+        }
+    }
+    if (!want_cigar) { out.ok = true; out.score = score; return; }
+    // NM + MD (bwa.cpp:309-339)
+    if (n_cigar) {
+        const char *int2base = rb < bns.l_pac ? INT2BASE_F : INT2BASE_R;
+        i64 x = 0, y = 0;
+        i32 u = 0, n_mm = 0, n_gap = 0;
+        std::string &md = out.MD;
+        for (i32 k = 0; k < n_cigar; ++k) {
+            i32 ln = (i32)(out.cigar[k] >> 4), op = out.cigar[k] & 0xF;
+            if (op == 0) {
+                for (i32 i = 0; i < ln; ++i) {
+                    if (query[x + i] != rseq_p[y + i]) {
+                        put_int(md, u);
+                        md.push_back(int2base[rseq_p[y + i]]);
+                        u = 0;
+                        ++n_mm;
+                    } else ++u;
+                }
+                x += ln; y += ln;
+            } else if (op == 2) {
+                if (k > 0 && k < n_cigar - 1) {
+                    put_int(md, u);
+                    md.push_back('^');
+                    for (i32 i = 0; i < ln; ++i)
+                        md.push_back(int2base[rseq_p[y + i]]);
+                    u = 0;
+                    n_gap += ln;
+                }
+                y += ln;
+            } else if (op == 1) { x += ln; n_gap += ln; }
+        }
+        put_int(md, u);
+        out.NM = n_mm + n_gap;
+    }
+    out.ok = true;
+    out.score = score;
+}
+
+// ---- mem_patch_reg + mem_sort_dedup_patch (finalize.py:123-210) ------------
+
+static bool patch_reg(const BnsC &bns, const MemOptC &opt, const u8 *query,
+                      const AlnReg &a, const AlnReg &b, i32 *score_out,
+                      i32 *w_out) {
+    if (!query) return false;
+    if (a.rb < bns.l_pac && b.rb >= bns.l_pac) return false;
+    if (a.qb >= b.qb || a.qe >= b.qe || a.re >= b.re) return false;
+    i32 w = (i32)std::llabs((a.re - b.rb) - (i64)(a.qe - b.qb));
+    double r = std::fabs((double)(a.re - b.rb) / (b.re - a.rb)
+                         - (double)(a.qe - b.qb) / (b.qe - a.qb));
+    if (a.re < b.rb || a.qe < b.qb) {
+        if (w > opt.w << 1 || r >= PATCH_MAX_R_BW) return false;
+    } else if (w > opt.w << 2 || r >= PATCH_MAX_R_BW * 2) return false;
+    w += a.w + b.w;
+    w = std::min(w, opt.w << 2);
+    CigarRes cr;
+    gen_cigar(bns, opt, b.qe - a.qb, query + a.qb, a.rb, b.re, w, false, cr);
+    if (!cr.ok) return false;
+    i32 q_s = (i32)((double)(b.qe - a.qb) / ((b.qe - b.qb) + (a.qe - a.qb))
+                    * (b.score + a.score) + 0.499);
+    i32 r_s = (i32)((double)(b.re - a.rb) / ((b.re - b.rb) + (a.re - a.rb))
+                    * (b.score + a.score) + 0.499);
+    if ((double)cr.score / std::max(q_s, r_s) < PATCH_MIN_SC_RATIO)
+        return false;
+    *score_out = cr.score;
+    *w_out = w;
+    return true;
+}
+
+static void sort_dedup_patch(const BnsC &bns, const MemOptC &opt,
+                             const u8 *query, std::vector<AlnReg> &regs) {
+    i64 n = (i64)regs.size();
+    if (n <= 1) return;
+    // mem_ars2 sort: by END coordinate, klib tie permutation
+    std::vector<i64> idx(n);
+    for (i64 i = 0; i < n; ++i) idx[i] = i;
+    ks_introsort_idx(idx.data(), n, [&](i64 x, i64 y) {
+        return regs[x].re < regs[y].re;
+    });
+    std::vector<AlnReg> a(n);
+    for (i64 i = 0; i < n; ++i) a[i] = regs[idx[i]];
+    for (auto &r : a) r.n_comp = 1;
+    for (i64 i = 1; i < n; ++i) {
+        AlnReg &p = a[i];
+        if (p.rid != a[i - 1].rid || p.rb >= a[i - 1].re + opt.max_chain_gap)
+            continue;
+        for (i64 j = i - 1; j >= 0; --j) {
+            AlnReg &q = a[j];
+            if (p.rid != q.rid || p.rb >= q.re + opt.max_chain_gap) break;
+            if (q.qe == q.qb) continue;
+            i64 or_ = q.re - p.rb;
+            i64 oq = q.qb < p.qb ? q.qe - p.qb : p.qe - q.qb;
+            i64 mr = std::min(q.re - q.rb, p.re - p.rb);
+            i64 mq = std::min(q.qe - q.qb, p.qe - p.qb);
+            if ((float)or_ > (float)mr * opt.mask_level_redun
+                    && (float)oq > (float)mq * opt.mask_level_redun) {
+                if (p.score < q.score) { p.qe = p.qb; break; }
+                q.qe = q.qb;
+            } else if (q.rb < p.rb && query) {
+                i32 score, w;
+                if (patch_reg(bns, opt, query, q, p, &score, &w)) {
+                    p.n_comp += q.n_comp + 1;
+                    p.seedcov = std::max(p.seedcov, q.seedcov);
+                    p.sub = std::max(p.sub, q.sub);
+                    p.csub = std::max(p.csub, q.csub);
+                    p.qb = q.qb; p.rb = q.rb;
+                    p.truesc = p.score = score;
+                    p.w = w;
+                    q.qb = q.qe;
+                }
+            }
+        }
+    }
+    std::vector<AlnReg> b;
+    b.reserve(n);
+    for (auto &r : a) if (r.qe > r.qb) b.push_back(r);
+    i64 m = (i64)b.size();
+    idx.resize(m);
+    for (i64 i = 0; i < m; ++i) idx[i] = i;
+    // alnreg_slt: score desc, then rb asc, then qb asc (klib permutation)
+    ks_introsort_idx(idx.data(), m, [&](i64 x, i64 y) {
+        const AlnReg &p = b[x], &q = b[y];
+        return p.score > q.score
+            || (p.score == q.score
+                && (p.rb < q.rb || (p.rb == q.rb && p.qb < q.qb)));
+    });
+    std::vector<AlnReg> c(m);
+    for (i64 i = 0; i < m; ++i) c[i] = b[idx[i]];
+    for (i64 i = 1; i < m; ++i)
+        if (c[i].score == c[i - 1].score && c[i].rb == c[i - 1].rb
+                && c[i].qb == c[i - 1].qb)
+            c[i].qe = c[i].qb;
+    regs.clear();
+    if (m) regs.push_back(c[0]);
+    for (i64 i = 1; i < m; ++i)
+        if (c[i].qe > c[i].qb) regs.push_back(c[i]);
+}
+
+// ---- mem_mark_primary_se (finalize.py:217-282) -----------------------------
+
+static void mark_primary_core(const MemOptC &opt, std::vector<AlnReg> &a,
+                              i64 n) {
+    i32 tmp = std::max({opt.a + opt.b, opt.o_del + opt.e_del,
+                        opt.o_ins + opt.e_ins});
+    std::vector<i64> z;
+    z.push_back(0);
+    for (i64 i = 1; i < n; ++i) {
+        i64 matched = -1;
+        for (i64 k : z) {
+            i32 b_max = std::max(a[k].qb, a[i].qb);
+            i32 e_min = std::min(a[k].qe, a[i].qe);
+            if (e_min > b_max) {
+                i32 min_l = std::min(a[i].qe - a[i].qb, a[k].qe - a[k].qb);
+                if ((float)(e_min - b_max) >= (float)min_l * opt.mask_level) {
+                    if (a[k].sub == 0) a[k].sub = a[i].score;
+                    if (a[k].score - a[i].score <= tmp
+                            && (a[k].is_alt || !a[i].is_alt))
+                        ++a[k].sub_n;
+                    matched = k;
+                    break;
+                }
+            }
+        }
+        if (matched < 0) z.push_back(i);
+        else a[i].secondary = (i32)matched;
+    }
+}
+
+static i64 mark_primary(const MemOptC &opt, std::vector<AlnReg> &regs,
+                        i64 read_id) {
+    i64 n = (i64)regs.size();
+    if (n == 0) return 0;
+    i64 n_pri = 0;
+    for (i64 i = 0; i < n; ++i) {
+        AlnReg &r = regs[i];
+        r.sub = r.alt_sc = 0;
+        r.secondary = r.secondary_all = -1;
+        r.hash = hash_64((u64)(read_id + i));
+        if (!r.is_alt) ++n_pri;
+    }
+    // alnreg_hlt: score desc, is_alt asc, hash asc (hash ties ~impossible;
+    // stable keeps the Python spec's `sorted` semantics regardless)
+    std::stable_sort(regs.begin(), regs.end(),
+                     [](const AlnReg &x, const AlnReg &y) {
+        if (x.score != y.score) return x.score > y.score;
+        if (x.is_alt != y.is_alt) return x.is_alt < y.is_alt;
+        return x.hash < y.hash;
+    });
+    mark_primary_core(opt, regs, n);
+    for (i64 i = 0; i < n; ++i) {
+        regs[i].secondary_all = (i32)i;
+        if (!regs[i].is_alt && regs[i].secondary >= 0
+                && regs[regs[i].secondary].is_alt)
+            regs[i].alt_sc = regs[regs[i].secondary].score;
+    }
+    if (n_pri >= 0 && n_pri < n) {
+        std::vector<i32> z(n);
+        if (n_pri > 0)   // alnreg_hlt2: is_alt asc, score desc, hash asc
+            std::stable_sort(regs.begin(), regs.end(),
+                             [](const AlnReg &x, const AlnReg &y) {
+                if (x.is_alt != y.is_alt) return x.is_alt < y.is_alt;
+                if (x.score != y.score) return x.score > y.score;
+                return x.hash < y.hash;
+            });
+        for (i64 i = 0; i < n; ++i) z[regs[i].secondary_all] = (i32)i;
+        for (i64 i = 0; i < n; ++i) {
+            if (regs[i].secondary >= 0) {
+                regs[i].secondary_all = z[regs[i].secondary];
+                if (regs[i].is_alt) regs[i].secondary = INT_MAX_C;
+            } else regs[i].secondary_all = -1;
+        }
+        if (n_pri > 0) {
+            for (i64 i = 0; i < n_pri; ++i) {
+                regs[i].sub = 0;
+                regs[i].secondary = -1;
+            }
+            mark_primary_core(opt, regs, n_pri);
+        }
+    } else {
+        for (auto &r : regs) r.secondary_all = r.secondary;
+    }
+    return n_pri;
+}
+
+// ---- mem_approx_mapq_se (finalize.py:285-308) ------------------------------
+
+static i32 approx_mapq(const MemOptC &opt, const AlnReg &a) {
+    i32 sub = a.sub ? a.sub : opt.min_seed_len * opt.a;
+    sub = std::max(a.csub, sub);
+    if (sub >= a.score) return 0;
+    i64 ln = std::max((i64)(a.qe - a.qb), a.re - a.rb);
+    double identity = 1.0 - (double)(ln * opt.a - a.score)
+                            / (opt.a + opt.b) / ln;
+    i32 mapq;
+    if (a.score == 0) mapq = 0;
+    else if (opt.mapQ_coef_len > 0) {
+        double tmp = ln < opt.mapQ_coef_len
+            ? 1.0 : (double)opt.mapQ_coef_fac / std::log((double)ln);
+        tmp *= identity * identity;
+        mapq = (i32)(6.02 * (a.score - sub) / opt.a * tmp * tmp + 0.499);
+    } else {
+        mapq = (i32)(MEM_MAPQ_COEF * (1.0 - (double)sub / a.score)
+                     * std::log((double)a.seedcov) + 0.499);
+        if (identity < 0.95)
+            mapq = (i32)(mapq * identity * identity + 0.499);
+    }
+    if (a.sub_n > 0)
+        mapq -= (i32)(4.343 * std::log(a.sub_n + 1.0) + 0.499);
+    mapq = std::min(mapq, 60);
+    mapq = std::max(mapq, 0);
+    return (i32)(mapq * (1.0 - a.frac_rep) + 0.499);
+}
+
+// ---- mem_reorder_primary5 (finalize.py:311-335) ----------------------------
+
+static void reorder_primary5(i32 T, std::vector<AlnReg> &a) {
+    i64 n_pri = 0;
+    for (auto &p : a)
+        if (p.secondary < 0 && !p.is_alt && p.score >= T) ++n_pri;
+    if (n_pri <= 1) return;
+    i32 left_st = INT_MAX_C;
+    i64 left_k = -1;
+    for (i64 k = 0; k < (i64)a.size(); ++k) {
+        const AlnReg &p = a[k];
+        if (p.secondary >= 0 || p.is_alt || p.score < T) continue;
+        if (p.qb < left_st) { left_st = p.qb; left_k = k; }
+    }
+    if (left_k == 0) return;
+    std::swap(a[0], a[left_k]);
+    for (i64 k = 1; k < (i64)a.size(); ++k) {
+        AlnReg &p = a[k];
+        if (p.secondary == 0) p.secondary = (i32)left_k;
+        else if (p.secondary == (i32)left_k) p.secondary = 0;
+        if (p.secondary_all == 0) p.secondary_all = (i32)left_k;
+        else if (p.secondary_all == (i32)left_k) p.secondary_all = 0;
+    }
+}
+
+// ---- mem_reg2aln (finalize.py:360-426) -------------------------------------
+
+static i32 infer_bw(i32 l1, i32 l2, i32 score, i32 a, i32 q, i32 r) {
+    if (l1 == l2 && l1 * a - score < (q + r - a) << 1) return 0;
+    i32 w = (i32)((double)(std::min(l1, l2) * a - score - q) / r + 2.0);
+    return std::max(w, std::abs(l1 - l2));
+}
+
+static void reg2aln(const BnsC &bns, const MemOptC &opt, i32 l_query,
+                    const u8 *query, const AlnReg *ar, Aln &a) {
+    a = Aln();
+    if (!ar || ar->rb < 0 || ar->re < 0) {
+        a.rid = -1; a.pos = -1; a.flag = 0x4;
+        a.score = 0; a.sub = 0; a.NM = 0;
+        return;
+    }
+    i32 qb = ar->qb, qe = ar->qe;
+    i64 rb = ar->rb, re = ar->re;
+    a.mapq = ar->secondary < 0 ? approx_mapq(opt, *ar) : 0;
+    if (ar->secondary >= 0) a.flag |= 0x100;
+    i32 w2 = std::max(
+        infer_bw(qe - qb, (i32)(re - rb), ar->truesc, opt.a, opt.o_del,
+                 opt.e_del),
+        infer_bw(qe - qb, (i32)(re - rb), ar->truesc, opt.a, opt.o_ins,
+                 opt.e_ins));
+    if (w2 > opt.w) w2 = std::min(w2, ar->w);
+    i32 last_sc = -(1 << 30);
+    i32 i = 0;
+    CigarRes cr;
+    for (;;) {
+        w2 = std::min(w2, opt.w << 2);
+        gen_cigar(bns, opt, qe - qb, query + qb, rb, re, w2, true, cr);
+        if (cr.score == last_sc || w2 == opt.w << 2) break;
+        last_sc = cr.score;
+        w2 <<= 1;
+        ++i;
+        if (!(i < 3 && cr.score < ar->truesc - opt.a)) break;
+    }
+    bool is_rev;
+    i64 pos_f = bns_depos(bns, rb < bns.l_pac ? rb : re - 1, &is_rev);
+    a.is_rev = is_rev;
+    std::vector<uint32_t> &cigar = cr.cigar;
+    if (!cigar.empty()) {
+        if ((cigar.front() & 0xF) == 2) {          // leading deletion
+            pos_f += cigar.front() >> 4;
+            cigar.erase(cigar.begin());
+        } else if ((cigar.back() & 0xF) == 2) {
+            cigar.pop_back();
+        }
+    }
+    if (qb != 0 || qe != l_query) {                // soft clipping
+        i32 clip5 = is_rev ? l_query - qe : qb;
+        i32 clip3 = is_rev ? qb : l_query - qe;
+        if (clip5)
+            cigar.insert(cigar.begin(), ((uint32_t)clip5 << 4) | 3);
+        if (clip3)
+            cigar.push_back(((uint32_t)clip3 << 4) | 3);
+    }
+    a.rid = bns_pos2rid(bns, pos_f);
+    a.pos = pos_f - bns.ann_off[a.rid];
+    a.cigar = std::move(cigar);
+    a.NM = cr.NM;
+    a.MD = std::move(cr.MD);
+    a.score = ar->score;
+    a.sub = std::max(ar->sub, ar->csub);
+    a.is_alt = ar->is_alt != 0;
+    a.alt_sc = ar->alt_sc;
+}
+
+// ---- mem_gen_alt XA strings (finalize.py:433-477) --------------------------
+
+static void gen_alt(const BnsC &bns, const MemOptC &opt,
+                    const std::vector<AlnReg> &regs, i32 l_query,
+                    const u8 *query, std::vector<std::string> &XA,
+                    std::vector<bool> &has_XA) {
+    i64 n = (i64)regs.size();
+    XA.assign(n, std::string());
+    has_XA.assign(n, false);
+    // get_pri_idx: XA_drop_ratio widened to double exactly like the C call
+    auto pri_idx = [&](i64 i) -> i64 {
+        i64 k = regs[i].secondary_all;
+        if (k >= 0 && (double)regs[i].score
+                >= (double)regs[k].score * (double)opt.XA_drop_ratio)
+            return k;
+        return -1;
+    };
+    std::vector<i32> cnt(n, 0);
+    std::vector<bool> hasalt(n, false);
+    i64 tot = 0;
+    for (i64 i = 0; i < n; ++i) {
+        i64 r = pri_idx(i);
+        if (r >= 0) {
+            ++cnt[r];
+            ++tot;
+            if (regs[i].is_alt) hasalt[r] = true;
+        }
+    }
+    if (tot == 0) return;
+    Aln t;
+    for (i64 i = 0; i < n; ++i) {
+        i64 r = pri_idx(i);
+        if (r < 0) continue;
+        if (cnt[r] > opt.max_XA_hits_alt
+                || (!hasalt[r] && cnt[r] > opt.max_XA_hits))
+            continue;
+        reg2aln(bns, opt, l_query, query, &regs[i], t);
+        std::string &s = XA[r];
+        i64 nl;
+        const char *nm = ann_name(bns, t.rid, &nl);
+        put_str(s, nm, nl);
+        put_c(s, ',');
+        put_c(s, t.is_rev ? '-' : '+');
+        put_int(s, t.pos + 1);
+        put_c(s, ',');
+        for (uint32_t c : t.cigar) {
+            put_int(s, c >> 4);
+            put_c(s, "MIDSHN"[c & 0xF]);
+        }
+        put_c(s, ',');
+        put_int(s, t.NM);
+        put_c(s, ';');
+        has_XA[r] = true;
+    }
+}
+
+// ---- mem_aln2sam (finalize.py:484-610) -------------------------------------
+
+static i32 get_rlen(const std::vector<uint32_t> &cigar) {
+    i32 l = 0;
+    for (uint32_t c : cigar) {
+        i32 op = c & 0xF;
+        if (op == 0 || op == 2) l += c >> 4;
+    }
+    return l;
+}
+
+static void put_cigar_str(std::string &o, const MemOptC &opt, const Aln &p,
+                          i32 which) {
+    if (p.cigar.empty()) { put_c(o, '*'); return; }
+    for (uint32_t c : p.cigar) {
+        i32 op = c & 0xF;
+        if (!(opt.flag & MEM_F_SOFTCLIP) && !p.is_alt
+                && (op == 3 || op == 4))
+            op = which ? 4 : 3;
+        put_int(o, c >> 4);
+        put_c(o, CIGAR_CHR[op]);
+    }
+}
+
+static const char *RC_TABLE_INIT() {
+    static char t[256];
+    for (int i = 0; i < 256; ++i) t[i] = 'N';
+    t['A'] = 'T'; t['C'] = 'G'; t['G'] = 'C'; t['T'] = 'A'; t['N'] = 'N';
+    return t;
+}
+static const char *RC_TABLE = RC_TABLE_INIT();
+
+struct ReadView {
+    const char *name; i64 l_name;
+    const char *seq;  i64 l_seq;
+    const char *qual; i64 l_qual;      // 0 = absent
+    const char *comment; i64 l_comment;  // 0 = absent
+};
+
+static void aln2sam(const BnsC &bns, const MemOptC &opt, const ReadView &rd,
+                    i32 n, const std::vector<Aln> &alns, i32 which,
+                    const Aln *m_, const char *rg_id, i64 l_rg,
+                    std::string &out) {
+    Aln p = alns[which];          // local copies: flag mutations below
+    Aln mcopy;
+    Aln *m = nullptr;
+    if (m_) { mcopy = *m_; m = &mcopy; }
+    p.flag |= m ? 0x1 : 0;
+    p.flag |= p.rid < 0 ? 0x4 : 0;
+    p.flag |= (m && m->rid < 0) ? 0x8 : 0;
+    if (p.rid < 0 && m && m->rid >= 0) {
+        p.rid = m->rid; p.pos = m->pos; p.is_rev = m->is_rev;
+        p.cigar.clear();
+    }
+    if (m && m->rid < 0 && p.rid >= 0) {
+        m->rid = p.rid; m->pos = p.pos; m->is_rev = p.is_rev;
+        m->cigar.clear();
+    }
+    p.flag |= p.is_rev ? 0x10 : 0;
+    p.flag |= (m && m->is_rev) ? 0x20 : 0;
+
+    put_str(out, rd.name, rd.l_name);
+    put_c(out, '\t');
+    put_int(out, (p.flag & 0xFFFF) | ((p.flag & 0x10000) ? 0x100 : 0));
+    if (p.rid >= 0) {
+        i64 nl;
+        const char *nm = ann_name(bns, p.rid, &nl);
+        put_c(out, '\t');
+        put_str(out, nm, nl);
+        put_c(out, '\t');
+        put_int(out, p.pos + 1);
+        put_c(out, '\t');
+        put_int(out, p.mapq);
+        put_c(out, '\t');
+        put_cigar_str(out, opt, p, which);
+    } else {
+        out.append("\t*\t0\t0\t*");
+    }
+    // mate position
+    if (m && m->rid >= 0) {
+        put_c(out, '\t');
+        if (p.rid == m->rid) put_c(out, '=');
+        else {
+            i64 nl;
+            const char *nm = ann_name(bns, m->rid, &nl);
+            put_str(out, nm, nl);
+        }
+        put_c(out, '\t');
+        put_int(out, m->pos + 1);
+        put_c(out, '\t');
+        if (p.rid == m->rid) {
+            i64 p0 = p.pos + (p.is_rev ? get_rlen(p.cigar) - 1 : 0);
+            i64 p1 = m->pos + (m->is_rev ? get_rlen(m->cigar) - 1 : 0);
+            if (m->cigar.empty() || p.cigar.empty()) put_c(out, '0');
+            else
+                put_int(out, -(p0 - p1 + (p0 > p1 ? 1 : p0 < p1 ? -1 : 0)));
+        } else put_c(out, '0');
+    } else {
+        out.append("\t*\t0\t0");
+    }
+    put_c(out, '\t');
+
+    // SEQ / QUAL
+    if (p.flag & 0x100) {
+        out.append("*\t*");
+    } else {
+        i64 qb = 0, qe = rd.l_seq;
+        bool clip_ok = !p.cigar.empty() && which
+            && !(opt.flag & MEM_F_SOFTCLIP) && !p.is_alt;
+        if (!p.is_rev) {
+            if (clip_ok) {
+                i32 op0 = p.cigar.front() & 0xF;
+                i32 opn = p.cigar.back() & 0xF;
+                if (op0 == 3 || op0 == 4) qb += p.cigar.front() >> 4;
+                if (opn == 3 || opn == 4) qe -= p.cigar.back() >> 4;
+            }
+            put_str(out, rd.seq + qb, qe - qb);
+            put_c(out, '\t');
+            if (rd.l_qual) put_str(out, rd.qual + qb, qe - qb);
+            else put_c(out, '*');
+        } else {
+            if (clip_ok) {
+                i32 op0 = p.cigar.front() & 0xF;
+                i32 opn = p.cigar.back() & 0xF;
+                if (op0 == 3 || op0 == 4) qe -= p.cigar.front() >> 4;
+                if (opn == 3 || opn == 4) qb += p.cigar.back() >> 4;
+            }
+            for (i64 i = qe - 1; i >= qb; --i)
+                put_c(out, RC_TABLE[(u8)rd.seq[i]]);
+            put_c(out, '\t');
+            if (rd.l_qual)
+                for (i64 i = qe - 1; i >= qb; --i) put_c(out, rd.qual[i]);
+            else put_c(out, '*');
+        }
+    }
+
+    // tags
+    char buf[64];
+    if (!p.cigar.empty()) {
+        out.append("\tNM:i:");
+        put_int(out, p.NM);
+        out.append("\tMD:Z:");
+        out.append(p.MD);
+    }
+    if (m && !m->cigar.empty()) {
+        out.append("\tMC:Z:");
+        put_cigar_str(out, opt, *m, which);
+    }
+    if (p.score >= 0) { out.append("\tAS:i:"); put_int(out, p.score); }
+    if (p.sub >= 0) { out.append("\tXS:i:"); put_int(out, p.sub); }
+    if (rg_id && l_rg) { out.append("\tRG:Z:"); put_str(out, rg_id, l_rg); }
+    if (!(p.flag & 0x100)) {
+        bool any = false;
+        for (i32 i = 0; i < n; ++i)
+            if (i != which && !(alns[i].flag & 0x100)) { any = true; break; }
+        if (any) {
+            out.append("\tSA:Z:");
+            for (i32 i = 0; i < n; ++i) {
+                if (i == which || (alns[i].flag & 0x100)) continue;
+                const Aln &r = alns[i];
+                i64 nl;
+                const char *nm = ann_name(bns, r.rid, &nl);
+                put_str(out, nm, nl);
+                put_c(out, ',');
+                put_int(out, r.pos + 1);
+                put_c(out, ',');
+                put_c(out, r.is_rev ? '-' : '+');
+                put_c(out, ',');
+                for (uint32_t c : r.cigar) {
+                    put_int(out, c >> 4);
+                    put_c(out, CIGAR_CHR[c & 0xF]);
+                }
+                put_c(out, ',');
+                put_int(out, r.mapq);
+                put_c(out, ',');
+                put_int(out, r.NM);
+                put_c(out, ';');
+            }
+        }
+        if (p.alt_sc > 0) {
+            int l = snprintf(buf, sizeof buf, "\tpa:f:%.3f",
+                             (double)p.score / p.alt_sc);
+            out.append(buf, l);
+        }
+    }
+    if (p.has_XA) {
+        out.append("\tXA:Z:");
+        out.append(p.XA);
+    }
+    if (rd.l_comment) {
+        put_c(out, '\t');
+        put_str(out, rd.comment, rd.l_comment);
+    }
+    if ((opt.flag & MEM_F_REF_HDR) && p.rid >= 0
+            && bns.anno_off[p.rid + 1] > bns.anno_off[p.rid]) {
+        out.append("\tXR:Z:");
+        for (i64 i = bns.anno_off[p.rid]; i < bns.anno_off[p.rid + 1]; ++i) {
+            char c = bns.anno_blob[i];
+            put_c(out, c == '\t' ? ' ' : c);
+        }
+    }
+    put_c(out, '\n');
+}
+
+// ---- mem_reg2sam (finalize.py:613-648) -------------------------------------
+
+static void reg2sam(const BnsC &bns, const MemOptC &opt, const ReadView &rd,
+                    const u8 *query, i32 l_query, std::vector<AlnReg> &regs,
+                    i32 extra_flag, const Aln *m_, const char *rg_id,
+                    i64 l_rg, std::string &out) {
+    std::vector<std::string> XA;
+    std::vector<bool> has_XA;
+    bool use_XA = !(opt.flag & MEM_F_ALL);
+    if (use_XA) gen_alt(bns, opt, regs, l_query, query, XA, has_XA);
+    std::vector<Aln> aa;
+    for (i64 k = 0; k < (i64)regs.size(); ++k) {
+        AlnReg &p = regs[k];
+        if (p.score < opt.T) continue;
+        if (p.secondary >= 0 && (p.is_alt || !(opt.flag & MEM_F_ALL)))
+            continue;
+        if (p.secondary >= 0 && p.secondary < INT_MAX_C
+                && (float)p.score
+                   < (float)regs[p.secondary].score * opt.drop_ratio)
+            continue;
+        aa.emplace_back();
+        Aln &q = aa.back();
+        reg2aln(bns, opt, l_query, query, &p, q);
+        if (use_XA && has_XA[k]) { q.XA = XA[k]; q.has_XA = true; }
+        q.flag |= extra_flag;
+        if (p.secondary >= 0) q.sub = -1;
+        if (aa.size() > 1 && p.secondary < 0)
+            q.flag |= (opt.flag & MEM_F_NO_MULTI) ? 0x10000 : 0x800;
+        if (!(opt.flag & MEM_F_KEEP_SUPP_MAPQ) && aa.size() > 1 && !p.is_alt
+                && q.mapq > aa[0].mapq)
+            q.mapq = aa[0].mapq;
+    }
+    if (aa.empty()) {
+        std::vector<Aln> t(1);
+        reg2aln(bns, opt, l_query, query, nullptr, t[0]);
+        t[0].flag |= extra_flag;
+        aln2sam(bns, opt, rd, 1, t, 0, m_, rg_id, l_rg, out);
+        return;
+    }
+    for (i32 k = 0; k < (i32)aa.size(); ++k)
+        aln2sam(bns, opt, rd, (i32)aa.size(), aa, k, m_, rg_id, l_rg, out);
+}
+
+// ---- marshalling helpers ---------------------------------------------------
+
+static void load_regs(const RegsC &R, i64 i, std::vector<AlnReg> &out) {
+    out.clear();
+    for (i64 j = R.off[i]; j < R.off[i + 1]; ++j) {
+        AlnReg r;
+        r.rb = R.rb[j]; r.re = R.re[j];
+        r.qb = R.qb[j]; r.qe = R.qe[j]; r.rid = R.rid[j];
+        r.score = R.score[j]; r.truesc = R.truesc[j];
+        r.sub = R.sub[j]; r.alt_sc = R.alt_sc[j]; r.csub = R.csub[j];
+        r.sub_n = R.sub_n[j]; r.w = R.w[j]; r.seedcov = R.seedcov[j];
+        r.secondary = R.secondary[j]; r.secondary_all = R.secondary_all[j];
+        r.seedlen0 = R.seedlen0[j]; r.n_comp = R.n_comp[j];
+        r.is_alt = R.is_alt[j]; r.frac_rep = R.frac_rep[j];
+        r.hash = 0;
+        out.push_back(r);
+    }
+}
+
+static void store_regs(RegsC &R, i64 j0, const std::vector<AlnReg> &in) {
+    for (i64 t = 0; t < (i64)in.size(); ++t) {
+        const AlnReg &r = in[t];
+        i64 j = j0 + t;
+        R.rb[j] = r.rb; R.re[j] = r.re;
+        R.qb[j] = r.qb; R.qe[j] = r.qe; R.rid[j] = r.rid;
+        R.score[j] = r.score; R.truesc[j] = r.truesc;
+        R.sub[j] = r.sub; R.alt_sc[j] = r.alt_sc; R.csub[j] = r.csub;
+        R.sub_n[j] = r.sub_n; R.w[j] = r.w; R.seedcov[j] = r.seedcov;
+        R.secondary[j] = r.secondary; R.secondary_all[j] = r.secondary_all;
+        R.seedlen0[j] = r.seedlen0; R.n_comp[j] = r.n_comp;
+        R.is_alt[j] = r.is_alt; R.frac_rep[j] = r.frac_rep;
+    }
+}
+
+static u8 NT4[256];
+static bool nt4_init_done = [] {
+    for (int i = 0; i < 256; ++i) NT4[i] = 4;
+    NT4['A'] = NT4['a'] = 0; NT4['C'] = NT4['c'] = 1;
+    NT4['G'] = NT4['g'] = 2; NT4['T'] = NT4['t'] = 3;
+    NT4['-'] = 5;
+    return true;
+}();
+
+static void encode_read(const char *seq, i64 n, std::vector<u8> &enc) {
+    enc.resize(n);
+    for (i64 i = 0; i < n; ++i) enc[i] = NT4[(u8)seq[i]];
+}
+
+} // namespace
+
+// ---------------------------------------------------------------------------
+// exported entry points
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Batched mem_sort_dedup_patch + ALT marking over a chunk (the tail of
+// worker_aln, bwamem.cpp:1141-1169).  Rewrites the reg arrays and offsets
+// in place (region count can only shrink).  Input regions must already have
+// qe > qb (caller filters sentinels).
+void rt_dedup_patch_batch(const BnsC *bns, const MemOptC *opt,
+                          const ReadsC *reads, RegsC *R) {
+    std::vector<AlnReg> regs;
+    std::vector<u8> enc;
+    i64 w = 0;
+    for (i64 i = 0; i < reads->n; ++i) {
+        load_regs(*R, i, regs);   // reads old off[i]..off[i+1]
+        i64 nseq = reads->seq_off[i + 1] - reads->seq_off[i];
+        encode_read(reads->seq_blob + reads->seq_off[i], nseq, enc);
+        sort_dedup_patch(*bns, *opt, enc.data(), regs);
+        for (auto &r : regs)
+            if (r.rid >= 0 && bns->ann_alt[r.rid]) r.is_alt = 1;
+        // compaction only shifts left (w <= old off[i]), so the write never
+        // clobbers read i+1's still-unread input slots
+        store_regs(*R, w, regs);
+        R->off[i] = w;            // new start; old off[i] no longer needed
+        w += (i64)regs.size();
+    }
+    R->off[reads->n] = w;
+}
+
+// Batched SE finalization: mem_mark_primary_se + mem_reg2sam for every read
+// of a chunk (worker_sam SE path, bwamem.cpp:1323-1334).  Returns one
+// malloc'd SAM text blob (caller frees with rt_free); per_len[i] is read
+// i's SAM byte length (records are concatenated in read order).
+char *rt_finalize_se_batch(const BnsC *bns, const MemOptC *opt,
+                           const ReadsC *reads, RegsC *R, i64 n_processed,
+                           const char *rg_id, i64 l_rg, i64 *per_len,
+                           i64 *out_len) {
+    std::string out;
+    out.reserve((size_t)reads->n * 256);
+    std::vector<AlnReg> regs;
+    std::vector<u8> enc;
+    for (i64 i = 0; i < reads->n; ++i) {
+        size_t pos0 = out.size();
+        load_regs(*R, i, regs);
+        mark_primary(*opt, regs, n_processed + i);
+        if (opt->flag & MEM_F_PRIMARY5) reorder_primary5(opt->T, regs);
+        i64 nseq = reads->seq_off[i + 1] - reads->seq_off[i];
+        encode_read(reads->seq_blob + reads->seq_off[i], nseq, enc);
+        ReadView rd;
+        rd.name = reads->name_blob + reads->name_off[i];
+        rd.l_name = reads->name_off[i + 1] - reads->name_off[i];
+        rd.seq = reads->seq_blob + reads->seq_off[i];
+        rd.l_seq = nseq;
+        rd.qual = reads->qual_blob + reads->qual_off[i];
+        rd.l_qual = reads->qual_off[i + 1] - reads->qual_off[i];
+        rd.comment = reads->comment_blob + reads->comment_off[i];
+        rd.l_comment = reads->comment_off[i + 1] - reads->comment_off[i];
+        reg2sam(*bns, *opt, rd, enc.data(), (i32)nseq, regs, 0, nullptr,
+                rg_id, l_rg, out);
+        per_len[i] = (i64)(out.size() - pos0);
+    }
+    char *buf = (char *)malloc(out.size() + 1);
+    memcpy(buf, out.data(), out.size());
+    buf[out.size()] = 0;
+    *out_len = (i64)out.size();
+    return buf;
+}
+
+void rt_free(void *p) { free(p); }
+
+} // extern "C"

@@ -1,0 +1,81 @@
+"""Native host runtime (runtime.cpp) vs the pure-Python spec path.
+
+The golden tests exercise the native path (Aligner default); these tests pin
+the two implementations against each other on the committed fixtures so a
+regression in either is caught even where goldens don't cover a flag combo.
+"""
+
+import os
+
+import pytest
+
+from bwamem2_tpu.align.pipeline import Aligner
+from bwamem2_tpu.index.fmindex import FMIndex
+from bwamem2_tpu.io.fastq import FastxReader, read_chunk
+from bwamem2_tpu.options import MEM_F_ALL, MEM_F_PE, MemOptions
+
+from conftest import DATA, FIXTURES
+
+PREFIX = os.path.join(FIXTURES, "ref_small.fa")
+ALT_PREFIX = os.path.join(FIXTURES, "alt", "ref_small.fa")
+
+
+@pytest.fixture(scope="module")
+def fm():
+    return FMIndex.load(PREFIX)
+
+
+def run(fm, opt, se_file="reads_se.fq", pe=False, n_processed=0):
+    ks2 = FastxReader(os.path.join(DATA, "reads_r2.fq")) if pe else None
+    f1 = "reads_r1.fq" if pe else se_file
+    reads = read_chunk(FastxReader(os.path.join(DATA, f1)), ks2, 10**9)
+    out = {}
+    for native in (False, True):
+        rd = [r for r in reads]
+        for r in rd:
+            r.sam = None
+        Aligner(fm, opt, verbose=0, native_rt=native).process(
+            rd, n_processed)
+        out[native] = "".join(r.sam for r in rd)
+    return out
+
+
+@pytest.mark.parametrize("flags", [
+    {},
+    {"flag": MEM_F_ALL},
+    {"T": 20},
+    {"pen_clip5": 3, "pen_clip3": 7},
+])
+def test_se_native_matches_python(fm, flags):
+    opt = MemOptions()
+    for k, v in flags.items():
+        if k == "flag":
+            opt.flag |= v
+        else:
+            opt.set(k, v)
+    opt.finalize()
+    out = run(fm, opt)
+    assert out[True] == out[False]
+
+
+def test_se_nonzero_base_offset(fm):
+    # n_processed feeds the mark_primary hash: must flow through intact
+    opt = MemOptions().finalize()
+    out = run(fm, opt, n_processed=12345)
+    assert out[True] == out[False]
+
+
+def test_pe_native_dedup_matches_python(fm):
+    opt = MemOptions().finalize()
+    opt.flag |= MEM_F_PE
+    out = run(fm, opt, pe=True)
+    assert out[True] == out[False]
+
+
+def test_alt_contigs_native():
+    if not os.path.exists(ALT_PREFIX + ".bwt.2bit.64"):
+        pytest.skip("no ALT fixture")
+    fm_alt = FMIndex.load(ALT_PREFIX)
+    opt = MemOptions().finalize()
+    out = run(fm_alt, opt)
+    assert out[True] == out[False]
