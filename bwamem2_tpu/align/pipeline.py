@@ -16,7 +16,7 @@ import sys
 import numpy as np
 
 from ..index.fmindex import FMIndex
-from ..options import MEM_F_PE, MEM_F_PRIMARY5, MemOptions
+from ..options import (MEM_F_PE, MEM_F_PRIMARY5, MEM_F_SMARTPE, MemOptions)
 from ..utils.profiling import PROF
 from . import chain as chain_mod
 from . import extend as extend_mod
@@ -38,8 +38,8 @@ class Aligner:
         self.native_rt = native_rt
 
     # ---- phase 1: seeds -> chains ----
-    def kernel1(self, encs):
-        fm, opt = self.fm, self.opt
+    def kernel1(self, encs, opt):
+        fm = self.fm
         if self.backend is not None:
             smems_per_read = self.backend.collect_smems(encs, opt)
             # batch-resolve every read's SA positions in one device call,
@@ -68,8 +68,8 @@ class Aligner:
         return chains_per_read
 
     # ---- phase 2: chains -> alignment regions ----
-    def kernel2(self, reads, encs, chains_per_read):
-        fm, opt = self.fm, self.opt
+    def kernel2(self, reads, encs, chains_per_read, opt):
+        fm = self.fm
         kw = {}
         if self.backend is not None:
             kw = dict(left_kernel=self.backend.left_bsw_kernel,
@@ -104,8 +104,9 @@ class Aligner:
         return out
 
     # ---- phase 3: SAM ----
-    def kernel3_se(self, reads, encs, regs_per_read, n_processed: int):
-        fm, opt = self.fm, self.opt
+    def kernel3_se(self, reads, encs, regs_per_read, n_processed: int, opt=None):
+        fm = self.fm
+        opt = opt or self.opt
         for i, (read, enc, regs) in enumerate(zip(reads, encs,
                                                   regs_per_read)):
             regs, n_pri = fin.mark_primary(opt, regs, n_processed + i)
@@ -116,28 +117,72 @@ class Aligner:
 
     def process(self, reads, n_processed: int, pes0=None):
         """Align one chunk; fills read.sam for every read."""
+        if self.opt.flag & MEM_F_SMARTPE:
+            return self._process_smartpe(reads, n_processed, pes0)
+        return self._process_one(reads, n_processed, pes0, self.opt)
+
+    @staticmethod
+    def classify(reads) -> tuple[list, list]:
+        """bseq_classify (bwa.cpp:226-242): split a smart-pairing chunk into
+        SE and PE subsets — consecutive reads with equal names pair up."""
+        se, pe = [], []
+        has_last = True
+        for i in range(1, len(reads)):
+            if has_last:
+                if reads[i].name == reads[i - 1].name:
+                    pe.append(reads[i - 1])
+                    pe.append(reads[i])
+                    has_last = False
+                else:
+                    se.append(reads[i - 1])
+            else:
+                has_last = True
+        if has_last and reads:
+            se.append(reads[-1])
+        return se, pe
+
+    def _process_smartpe(self, reads, n_processed: int, pes0=None):
+        """-p mixed-stream processing (fastmap.cpp:249-287): the SE subset
+        runs without MEM_F_PE at base n_processed, the PE subset with it at
+        base n_processed + n_se.  Reads are shared objects, so .sam lands on
+        the original chunk without an id remap."""
+        se, pe = self.classify(reads)
+        if self.verbose >= 3:
+            sys.stderr.write(f"[M::process] {len(se)} single-end sequences; "
+                             f"{len(pe)} paired-end sequences.....\n")
+        if se:
+            tmp = self.opt.copy()
+            tmp.flag &= ~(MEM_F_PE | MEM_F_SMARTPE)
+            self._process_one(se, n_processed, pes0, tmp)
+        if pe:
+            tmp = self.opt.copy()
+            tmp.flag = (tmp.flag | MEM_F_PE) & ~MEM_F_SMARTPE
+            self._process_one(pe, n_processed + len(se), pes0, tmp)
+        return len(reads)
+
+    def _process_one(self, reads, n_processed: int, pes0, opt):
         encs = encode_reads([r.seq for r in reads])
-        chains_per_read = self.kernel1(encs)
-        regs_per_read = self.kernel2(reads, encs, chains_per_read)
+        chains_per_read = self.kernel1(encs, opt)
+        regs_per_read = self.kernel2(reads, encs, chains_per_read, opt)
         from ..native import hostrt
         if isinstance(regs_per_read, hostrt.FlatRegs):
             fr = regs_per_read
-            if self.opt.flag & MEM_F_PE:
+            if opt.flag & MEM_F_PE:
                 # PE still runs the Python pairing path (stage 2 pending)
                 regs_per_read = fr.to_lists()
             else:
                 with PROF("finalize.sam"):
                     sams = hostrt.finalize_se_batch(
-                        self.fm, self.opt, reads, fr, n_processed,
+                        self.fm, opt, reads, fr, n_processed,
                         self.rg_id)
                     for r, s in zip(reads, sams):
                         r.sam = s.decode("ascii")
                 return len(reads)
-        if self.opt.flag & MEM_F_PE:
+        if opt.flag & MEM_F_PE:
             from . import pairing
             with PROF("pestat"):
                 pes = pes0 if pes0 is not None else pairing.pestat(
-                    self.opt, self.fm.l_pac, regs_per_read,
+                    opt, self.fm.l_pac, regs_per_read,
                     verbose=self.verbose)
             # batch every rescue SW of the chunk on device up front
             # (mem_sam_pe_batch_{pre,post} analog); scalar path otherwise
@@ -147,7 +192,7 @@ class Aligner:
                                 lambda: 0)() > 0):
                 with PROF("matesw"):
                     desc, keys = pairing.batch_rescue_pre(
-                        self.fm, self.opt, pes, regs_per_read, encs,
+                        self.fm, opt, pes, regs_per_read, encs,
                         self.backend.read_grid_width())
                     if keys:
                         out = self.backend.rescue_batch(desc)
@@ -156,12 +201,12 @@ class Aligner:
                                       for j, k in enumerate(keys)}
             with PROF("pairing"):
                 for i in range(0, len(reads), 2):
-                    pairing.sam_pe(self.fm, self.opt, pes,
+                    pairing.sam_pe(self.fm, opt, pes,
                                    (n_processed >> 1) + (i >> 1),
                                    reads[i:i + 2], encs[i:i + 2],
                                    regs_per_read[i:i + 2], self.rg_id,
                                    rescue=rescue, pair_idx=i >> 1)
         else:
             with PROF("finalize.sam"):
-                self.kernel3_se(reads, encs, regs_per_read, n_processed)
+                self.kernel3_se(reads, encs, regs_per_read, n_processed, opt)
         return len(reads)

@@ -128,6 +128,32 @@ def main():
     write_fastq(os.path.join(DATA, "reads_r1.fq"), r1)
     write_fastq(os.path.join(DATA, "reads_r2.fq"), r2)
 
+    # mixed SE/PE stream for smart pairing (-p): interleaved pairs with SE
+    # reads woven in between pairs (bseq_classify input, bwa.cpp:226-242)
+    def readfq(path):
+        recs = []
+        with open(path) as f:
+            while True:
+                h = f.readline()
+                if not h:
+                    break
+                recs.append(h + f.readline() + f.readline() + f.readline())
+        return recs
+
+    m1 = readfq(os.path.join(DATA, "reads_r1.fq"))
+    m2 = readfq(os.path.join(DATA, "reads_r2.fq"))
+    ms = readfq(os.path.join(DATA, "reads_se.fq"))
+    mixed, si = [], 0
+    for i in range(60):
+        if i % 3 == 0 and si < 30:
+            mixed.append(ms[si])
+            si += 1
+        mixed.append(m1[i])
+        mixed.append(m2[i])
+    mixed.extend(ms[si:si + 5])
+    with open(os.path.join(DATA, "reads_mixed.fq"), "w") as f:
+        f.write("".join(mixed))
+
     # tiny genome for oracle unit tests
     tiny = "".join(rng.choice(BASES, size=3000).tolist())
     tiny = tiny[:1200] + "NNNNNNNN" + tiny[1200:]
@@ -154,6 +180,11 @@ def main():
             subprocess.run(
                 [REF_BIN, "mem", pref, os.path.join(DATA, "reads_r1.fq"),
                  os.path.join(DATA, "reads_r2.fq")],
+                check=True, stdout=out, stderr=subprocess.DEVNULL, env=env)
+        with open(os.path.join(FIX, "golden_mixed_p.sam"), "w") as out:
+            subprocess.run(
+                [REF_BIN, "mem", "-p", pref,
+                 os.path.join(DATA, "reads_mixed.fq")],
                 check=True, stdout=out, stderr=subprocess.DEVNULL, env=env)
         print("golden SAM + index fixtures written to", FIX)
 

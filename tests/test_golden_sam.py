@@ -46,3 +46,17 @@ def test_paired_end_bit_identical(fm):
     golden = golden_lines("golden_pe.sam")
     assert len(ours) == len(golden)
     assert ours == golden
+
+
+def test_smart_pairing_mixed_stream(fm):
+    # -p on a mixed SE/PE stream: bseq_classify splits the chunk
+    # (bwa.cpp:226-242, fastmap.cpp:249-287)
+    from bwamem2_tpu.options import MEM_F_SMARTPE
+    opt = MemOptions().finalize()
+    opt.flag |= MEM_F_PE | MEM_F_SMARTPE
+    reads = read_chunk(FastxReader(os.path.join(DATA, "reads_mixed.fq")),
+                       None, 10**9)
+    Aligner(fm, opt, verbose=0).process(reads, 0)
+    ours = "".join(r.sam for r in reads).splitlines(keepends=True)
+    golden = golden_lines("golden_mixed_p.sam")
+    assert ours == golden
