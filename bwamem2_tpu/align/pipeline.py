@@ -168,8 +168,30 @@ class Aligner:
         if isinstance(regs_per_read, hostrt.FlatRegs):
             fr = regs_per_read
             if opt.flag & MEM_F_PE:
-                # PE still runs the Python pairing path (stage 2 pending)
-                regs_per_read = fr.to_lists()
+                with PROF("pestat"):
+                    pes6 = (hostrt.pes_to_stats(pes0) if pes0 is not None
+                            else hostrt.pestat_batch(self.fm, opt, fr,
+                                                     self.verbose))
+                keys = res = None
+                if (self.backend is not None
+                        and getattr(self.backend, "read_grid_width",
+                                    lambda: 0)() > 0):
+                    # chunk-wide device rescue batch (mem_sam_pe_batch pre)
+                    with PROF("matesw"):
+                        desc, keys = hostrt.rescue_pre_batch(
+                            self.fm, opt, reads, fr, pes6,
+                            self.backend.read_grid_width())
+                        if keys is not None:
+                            res = self.backend.rescue_batch(desc)
+                            if res is None:
+                                keys = None
+                with PROF("pairing"):
+                    sams = hostrt.sam_pe_batch(
+                        self.fm, opt, reads, fr, pes6, n_processed,
+                        self.rg_id, keys=keys, res7=res)
+                    for r, s in zip(reads, sams):
+                        r.sam = s.decode("ascii")
+                return len(reads)
             else:
                 with PROF("finalize.sam"):
                     sams = hostrt.finalize_se_batch(

@@ -73,6 +73,16 @@ class RegsC(ctypes.Structure):
     ]
 
 
+class RescueOutC(ctypes.Structure):
+    _fields_ = [
+        ("n", c_int64),
+        ("key_p", _pi32), ("key_end", _pi32), ("key_j", _pi32),
+        ("key_r", _pi32),
+        ("qoff", _pi64), ("qdir", _pi32), ("qcomp", _pu8),
+        ("qlen", _pi32), ("toff", _pi64), ("tlen", _pi32), ("u8c", _pu8),
+    ]
+
+
 _proto_done = False
 
 
@@ -88,6 +98,20 @@ def _lib():
         lib.rt_finalize_se_batch.argtypes = [
             POINTER(BnsC), POINTER(MemOptC), POINTER(ReadsC),
             POINTER(RegsC), c_int64, c_char_p, c_int64, _pi64, _pi64]
+        lib.rt_pestat_batch.restype = None
+        lib.rt_pestat_batch.argtypes = [
+            POINTER(BnsC), POINTER(MemOptC), POINTER(RegsC), c_int64,
+            POINTER(ctypes.c_double)]
+        lib.rt_rescue_pre_batch.restype = POINTER(RescueOutC)
+        lib.rt_rescue_pre_batch.argtypes = [
+            POINTER(BnsC), POINTER(MemOptC), POINTER(ReadsC),
+            POINTER(RegsC), POINTER(ctypes.c_double), c_int64]
+        lib.rt_sam_pe_batch.restype = c_void_p
+        lib.rt_sam_pe_batch.argtypes = [
+            POINTER(BnsC), POINTER(MemOptC), POINTER(ReadsC),
+            POINTER(RegsC), POINTER(ctypes.c_double), c_int64, c_int64,
+            _pi32, _pi32, _pi32, _pi32, _pi32, c_char_p, c_int64,
+            _pi64, _pi64]
         lib.rt_free.restype = None
         lib.rt_free.argtypes = [c_void_p]
         _proto_done = True
@@ -269,6 +293,121 @@ def dedup_patch_batch(fm, opt, reads, fr: FlatRegs) -> None:
     rc = fr.c_struct()
     lib.rt_dedup_patch_batch(ctypes.byref(bv.c), ctypes.byref(oc),
                              ctypes.byref(rv.c), ctypes.byref(rc))
+
+
+def pestat_batch(fm, opt, fr: FlatRegs, verbose: int = 3) -> np.ndarray:
+    """mem_pestat over the flat regions; returns the 4x6 stats array
+    {failed, low, high, avg, std, n_raw} consumed by the PE entries below.
+    Prints the reference's [PE] lines at verbose >= 3."""
+    import sys
+    lib = _lib()
+    bv = bns_view(fm)
+    oc = make_opt_c(opt)
+    rc = fr.c_struct()
+    out = np.zeros((4, 6), np.float64)
+    lib.rt_pestat_batch(ctypes.byref(bv.c), ctypes.byref(oc),
+                        ctypes.byref(rc), len(fr.off) - 1,
+                        out.ctypes.data_as(POINTER(ctypes.c_double)))
+    if verbose >= 3:
+        for d in range(4):
+            if out[d, 5] >= 10:
+                print(f"[PE] orientation {'FF FR RF RR'.split()[d]}: "
+                      f"n={int(out[d, 5])} mean={out[d, 3]:.2f} "
+                      f"std={out[d, 4]:.2f} "
+                      f"bounds=({int(out[d, 1])},{int(out[d, 2])})",
+                      file=sys.stderr)
+    return out
+
+
+def pes_to_stats(pes) -> np.ndarray:
+    """PEStat list (e.g. -I override) -> the 4x6 stats array."""
+    out = np.zeros((4, 6), np.float64)
+    for d, p in enumerate(pes):
+        out[d] = (p.failed, p.low, p.high, p.avg, p.std, 0)
+    return out
+
+
+def rescue_pre_batch(fm, opt, reads, fr: FlatRegs, pes6: np.ndarray,
+                     L: int):
+    """Collect the chunk's mate-rescue SW problems as device descriptors.
+    Returns (desc dict for ops.kswv.DeviceKswv.align_batch, keys arrays)
+    or (None, None) when there is nothing to rescue."""
+    lib = _lib()
+    bv = bns_view(fm)
+    oc = make_opt_c(opt)
+    rv = ReadsView(reads)
+    rc = fr.c_struct()
+    rop = lib.rt_rescue_pre_batch(
+        ctypes.byref(bv.c), ctypes.byref(oc), ctypes.byref(rv.c),
+        ctypes.byref(rc),
+        np.ascontiguousarray(pes6).ctypes.data_as(
+            POINTER(ctypes.c_double)), L)
+    ro = rop.contents
+    n = ro.n
+    if n == 0:
+        lib.rt_free(rop)
+        return None, None
+
+    def arr(p, dt):
+        return np.ctypeslib.as_array(p, shape=(n,)).astype(dt, copy=True)
+
+    keys = dict(key_p=arr(ro.key_p, np.int32),
+                key_end=arr(ro.key_end, np.int32),
+                key_j=arr(ro.key_j, np.int32),
+                key_r=arr(ro.key_r, np.int32))
+    desc = dict(qoff=arr(ro.qoff, np.int64).astype(np.int32),
+                qdir=arr(ro.qdir, np.int32),
+                qcomp=arr(ro.qcomp, np.uint8).astype(bool),
+                qlen=arr(ro.qlen, np.int32),
+                toff=arr(ro.toff, np.int64),
+                tlen=arr(ro.tlen, np.int32),
+                u8=arr(ro.u8c, np.uint8).astype(bool))
+    lib.rt_free(rop)
+    return desc, keys
+
+
+def sam_pe_batch(fm, opt, reads, fr: FlatRegs, pes6: np.ndarray,
+                 n_processed: int, rg_id: str | None,
+                 keys=None, res7: np.ndarray | None = None) -> list[bytes]:
+    """mem_sam_pe over all pairs of the chunk; returns per-read SAM text."""
+    lib = _lib()
+    bv = bns_view(fm)
+    oc = make_opt_c(opt)
+    rv = ReadsView(reads)
+    rc = fr.c_struct()
+    per_len = np.zeros(len(reads), np.int64)
+    out_len = c_int64()
+    rg = rg_id.encode() if rg_id else None
+    if keys is not None and res7 is not None:
+        n_res = len(keys["key_p"])
+        kp = np.ascontiguousarray(keys["key_p"], np.int32)
+        ke = np.ascontiguousarray(keys["key_end"], np.int32)
+        kj = np.ascontiguousarray(keys["key_j"], np.int32)
+        kr = np.ascontiguousarray(keys["key_r"], np.int32)
+        rr = np.ascontiguousarray(res7, np.int32)
+    else:
+        n_res = 0
+        kp = ke = kj = kr = rr = np.zeros(0, np.int32)
+    ptr = lib.rt_sam_pe_batch(
+        ctypes.byref(bv.c), ctypes.byref(oc), ctypes.byref(rv.c),
+        ctypes.byref(rc),
+        np.ascontiguousarray(pes6).ctypes.data_as(
+            POINTER(ctypes.c_double)),
+        n_processed >> 1, n_res,
+        kp.ctypes.data_as(_pi32), ke.ctypes.data_as(_pi32),
+        kj.ctypes.data_as(_pi32), kr.ctypes.data_as(_pi32),
+        rr.ctypes.data_as(_pi32), rg, len(rg) if rg else 0,
+        per_len.ctypes.data_as(_pi64), ctypes.byref(out_len))
+    if not ptr:
+        raise RuntimeError("paired reads have different names")
+    blob = ctypes.string_at(ptr, out_len.value)
+    lib.rt_free(ptr)
+    out = []
+    pos = 0
+    for ln in per_len.tolist():
+        out.append(blob[pos:pos + ln])
+        pos += ln
+    return out
 
 
 def finalize_se_batch(fm, opt, reads, fr: FlatRegs, n_processed: int,

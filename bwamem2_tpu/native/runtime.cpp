@@ -948,6 +948,409 @@ static void encode_read(const char *seq, i64 n, std::vector<u8> &enc) {
     for (i64 i = 0; i < n; ++i) enc[i] = NT4[(u8)seq[i]];
 }
 
+// ---------------------------------------------------------------------------
+// Paired-end: mem_pair / mem_matesw / mem_sam_pe (align/pairing.py spec;
+// bwamem_pair.cpp:58-551)
+// ---------------------------------------------------------------------------
+
+constexpr double MIN_RATIO_PE = 0.8;
+constexpr i32 KSW_XBYTE = 0x10000, KSW_XSUBO = 0x40000, KSW_XSTART = 0x80000;
+constexpr double M_SQRT1_2_C = 0.70710678118654752440;
+
+struct PEStatC {            // mem_pestat_t (pairing.py:PEStat)
+    i32 low, high, failed;
+    double avg, std;
+};
+
+// mem_infer_dir (pairing.py:44-49): orientation FF/FR/RF/RR + distance
+static i32 infer_dir(i64 l_pac, i64 b1, i64 b2, i64 *dist) {
+    bool r1 = b1 >= l_pac, r2 = b2 >= l_pac;
+    i64 p2 = (r1 == r2) ? b2 : (l_pac << 1) - 1 - b2;
+    *dist = p2 > b1 ? p2 - b1 : b1 - p2;
+    return (r1 == r2 ? 0 : 1) ^ (p2 > b1 ? 0 : 3);
+}
+
+// bns_fetch_seq_v2 (fmindex.py:fetch_seq): clamp [beg,end) to mid's contig
+static const u8 *fetch_seq(const BnsC &bns, i64 beg, i64 mid, i64 end,
+                           i32 *rid, i64 *beg_o, i64 *end_o, i64 *len) {
+    if (end < beg) std::swap(beg, end);
+    bool is_rev;
+    i64 pos_f = bns_depos(bns, mid, &is_rev);
+    *rid = bns_pos2rid(bns, pos_f);
+    i64 far_beg = bns.ann_off[*rid];
+    i64 far_end = far_beg + bns.ann_len[*rid];
+    if (is_rev) {
+        i64 nb = (bns.l_pac << 1) - far_end;
+        far_end = (bns.l_pac << 1) - far_beg;
+        far_beg = nb;
+    }
+    beg = std::max(beg, far_beg);
+    end = std::min(end, far_end);
+    *beg_o = beg;
+    *end_o = end;
+    return bns_get_seq(bns, beg, end, len);
+}
+
+// rescue window geometry (pairing.py:matesw_window)
+static void matesw_window(const PEStatC *pes, i32 r, i64 a_rb, i32 l_ms,
+                          i64 l_pac, i64 *rb, i64 *re, bool *is_rev) {
+    *is_rev = ((r >> 1) != (r & 1));
+    bool is_larger = !(r >> 1);
+    if (!*is_rev) {
+        *rb = is_larger ? a_rb + pes[r].low : a_rb - pes[r].high;
+        *re = (is_larger ? a_rb + pes[r].high : a_rb - pes[r].low) + l_ms;
+    } else {
+        *rb = (is_larger ? a_rb + pes[r].low : a_rb - pes[r].high) - l_ms;
+        *re = is_larger ? a_rb + pes[r].high : a_rb - pes[r].low;
+    }
+    *rb = std::max(*rb, (i64)0);
+    *re = std::min(*re, l_pac << 1);
+}
+
+// pre-batched device rescue results keyed (pair, end, anchor_j, r)
+struct RescueMap {
+    i64 n = 0;
+    const i32 *key_p = nullptr, *key_end = nullptr, *key_j = nullptr,
+              *key_r = nullptr;
+    const i32 *res = nullptr;  // n x 7 kswr tuples
+    // simple open-addressed map built once per chunk
+    std::vector<i64> table;    // index+1, 0 = empty
+    u64 mask = 0;
+    static u64 pack(i64 p, i32 end, i32 j, i32 r) {
+        return ((u64)p << 18) | ((u64)end << 17) | ((u64)j << 2) | (u64)r;
+    }
+    void build() {
+        u64 cap = 16;
+        while (cap < (u64)n * 2 + 1) cap <<= 1;
+        table.assign(cap, 0);
+        mask = cap - 1;
+        for (i64 i = 0; i < n; ++i) {
+            u64 k = pack(key_p[i], key_end[i], key_j[i], key_r[i]);
+            u64 h = hash_64(k) & mask;
+            while (table[h]) h = (h + 1) & mask;
+            table[h] = i + 1;
+        }
+    }
+    const i32 *find(i64 p, i32 end, i32 j, i32 r) const {
+        if (!n) return nullptr;
+        u64 k = pack(p, end, j, r);
+        u64 h = hash_64(k) & mask;
+        while (table[h]) {
+            i64 i = table[h] - 1;
+            if (key_p[i] == p && key_end[i] == end && key_j[i] == j
+                    && key_r[i] == r)
+                return res + i * 7;
+            h = (h + 1) & mask;
+        }
+        return nullptr;
+    }
+};
+
+// mem_matesw for one anchor (pairing.py:130-190); returns #windows tried
+static i32 matesw(const BnsC &bns, const MemOptC &opt, const PEStatC *pes,
+                  const AlnReg &anchor, i32 l_ms, const u8 *ms,
+                  std::vector<AlnReg> &ma, const RescueMap &rescue,
+                  i64 rp, i32 rend, i32 rj) {
+    i64 l_pac = bns.l_pac;
+    bool skip[4];
+    for (i32 r = 0; r < 4; ++r) skip[r] = pes[r].failed != 0;
+    for (const AlnReg &reg : ma) {
+        i64 dist;
+        i32 r = infer_dir(l_pac, anchor.rb, reg.rb, &dist);
+        if (pes[r].low <= dist && dist <= pes[r].high) skip[r] = true;
+    }
+    if (skip[0] && skip[1] && skip[2] && skip[3]) return 0;
+    i32 n = 0;
+    std::vector<u8> seqbuf;
+    for (i32 r = 0; r < 4; ++r) {
+        if (skip[r]) continue;
+        i64 rb, re;
+        bool is_rev;
+        matesw_window(pes, r, anchor.rb, l_ms, l_pac, &rb, &re, &is_rev);
+        i32 rid = -1;
+        const u8 *ref = nullptr;
+        i64 rlen = 0;
+        if (rb < re)
+            ref = fetch_seq(bns, rb, (rb + re) >> 1, re, &rid, &rb, &re,
+                            &rlen);
+        if (anchor.rid == rid && re - rb >= opt.min_seed_len) {
+            const i32 *pre = rescue.find(rp, rend, rj, r);
+            i32 res[7];
+            if (pre) {
+                memcpy(res, pre, sizeof res);
+            } else {
+                const u8 *seq = ms;
+                if (is_rev) {
+                    seqbuf.resize(l_ms);
+                    for (i32 i = 0; i < l_ms; ++i) {
+                        u8 c = ms[l_ms - 1 - i];
+                        seqbuf[i] = c < 4 ? 3 - c : 4;
+                    }
+                    seq = seqbuf.data();
+                }
+                i32 xtra = KSW_XSUBO | KSW_XSTART
+                    | (l_ms * opt.a < 250 ? KSW_XBYTE : 0)
+                    | (opt.min_seed_len * opt.a);
+                ksw_align(l_ms, seq, (i32)rlen, ref, 5, opt.mat, opt.o_del,
+                          opt.e_del, opt.o_ins, opt.e_ins, xtra, res);
+            }
+            i32 score = res[0], te = res[1], qe = res[2], score2 = res[3],
+                tb = res[5], qb = res[6];
+            if (score >= opt.min_seed_len && qb >= 0) {
+                AlnReg b = AlnReg();
+                b.rid = anchor.rid;
+                b.is_alt = anchor.is_alt;
+                b.score = score;
+                b.csub = score2;
+                b.secondary = -1;
+                b.sub = b.alt_sc = b.sub_n = b.w = b.seedlen0 = 0;
+                b.truesc = 0; b.secondary_all = 0; b.frac_rep = 0.0f;
+                b.n_comp = 1; b.hash = 0;
+                b.qb = is_rev ? l_ms - (qe + 1) : qb;
+                b.qe = is_rev ? l_ms - qb : qe + 1;
+                b.rb = is_rev ? (l_pac << 1) - (rb + te + 1) : rb + tb;
+                b.re = is_rev ? (l_pac << 1) - (rb + tb) : rb + te + 1;
+                b.seedcov = (i32)(std::min(b.re - b.rb,
+                                           (i64)(b.qe - b.qb)) >> 1);
+                size_t ins = ma.size();
+                for (size_t i = 0; i < ma.size(); ++i)
+                    if (ma[i].score < b.score) { ins = i; break; }
+                ma.insert(ma.begin() + ins, b);
+            }
+            ++n;
+        }
+        if (n) sort_dedup_patch(bns, opt, nullptr, ma);
+    }
+    return n;
+}
+
+// mem_pair (pairing.py:269-326)
+static void mem_pair(const BnsC &bns, const MemOptC &opt, const PEStatC *pes,
+                     const std::vector<AlnReg> a[2], i64 read_id,
+                     const i64 n_pri[2], i32 *o_out, i32 *subo_out,
+                     i32 *n_sub_out, i64 z[2]) {
+    i64 l_pac = bns.l_pac;
+    std::vector<std::pair<u64, u64>> v;
+    for (i32 r = 0; r < 2; ++r)
+        for (i64 i = 0; i < n_pri[r]; ++i) {
+            const AlnReg &e = a[r][i];
+            i64 x = e.rb < l_pac ? e.rb : (l_pac << 1) - 1 - e.rb;
+            u64 key_x = ((u64)e.rid << 32) | (u64)(x - bns.ann_off[e.rid]);
+            u64 key_y = ((u64)e.score << 32) | ((u64)i << 2)
+                | ((u64)(e.rb >= l_pac) << 1) | (u64)r;
+            v.push_back({key_x, key_y});
+        }
+    std::sort(v.begin(), v.end());
+    i64 y[4] = {-1, -1, -1, -1};
+    std::vector<std::pair<u64, u64>> u;
+    for (i64 i = 0; i < (i64)v.size(); ++i) {
+        for (i32 r = 0; r < 2; ++r) {
+            i32 dr = (r << 1) | ((v[i].second >> 1) & 1);
+            if (pes[dr].failed) continue;
+            i32 which = (r << 1) | ((v[i].second & 1) ^ 1);
+            if (y[which] < 0) continue;
+            for (i64 k = y[which]; k >= 0; --k) {
+                if ((i32)(v[k].second & 3) != which) continue;
+                i64 dist = (i64)(v[i].first - v[k].first);
+                if (dist > pes[dr].high) break;
+                if (dist < pes[dr].low) continue;
+                double ns = (dist - pes[dr].avg) / pes[dr].std;
+                i64 q = (i64)((double)(v[i].second >> 32)
+                              + (double)(v[k].second >> 32)
+                              + 0.721 * std::log(2.0 * std::erfc(
+                                    std::fabs(ns) * M_SQRT1_2_C))
+                                * opt.a + 0.499);
+                if (q < 0) q = 0;
+                u64 uy = ((u64)k << 32) | (u64)i;
+                u64 ux = ((u64)q << 32)
+                    | (hash_64(uy ^ ((u64)read_id << 8)) & 0xFFFFFFFFull);
+                u.push_back({ux, uy});
+            }
+        }
+        y[v[i].second & 3] = i;
+    }
+    if (u.empty()) {
+        *o_out = *subo_out = *n_sub_out = 0;
+        z[0] = z[1] = -1;
+        return;
+    }
+    i32 tmp = std::max({opt.a + opt.b, opt.o_del + opt.e_del,
+                        opt.o_ins + opt.e_ins});
+    std::sort(u.begin(), u.end());
+    i64 i = (i64)(u.back().second >> 32);
+    i64 k = (i64)(u.back().second & 0xFFFFFFFFull);
+    z[0] = z[1] = -1;
+    z[v[i].second & 1] = (i64)((v[i].second & 0xFFFFFFFFull) >> 2);
+    z[v[k].second & 1] = (i64)((v[k].second & 0xFFFFFFFFull) >> 2);
+    *o_out = (i32)(u.back().first >> 32);
+    i32 sub = u.size() > 1 ? (i32)(u[u.size() - 2].first >> 32) : 0;
+    i32 n_sub = 0;
+    for (i64 i2 = (i64)u.size() - 2; i2 >= 0; --i2)
+        if (sub - (i32)(u[i2].first >> 32) <= tmp) ++n_sub;
+    *subo_out = sub;
+    *n_sub_out = n_sub;
+}
+
+static i32 raw_mapq(i32 diff, i32 a) {
+    return (i32)(6.02 * diff / a + 0.499);
+}
+
+// mem_sam_pe for one pair (pairing.py:342-471)
+static void sam_pe_one(const BnsC &bns, const MemOptC &opt,
+                       const PEStatC *pes, i64 pair_id,
+                       const ReadView rd[2], const u8 *enc[2],
+                       const i32 l_enc[2], std::vector<AlnReg> a[2],
+                       const RescueMap &rescue, i64 pair_idx,
+                       const char *rg_id, i64 l_rg, std::string out[2]) {
+    i32 extra_flag = 1;
+    if (!(opt.flag & MEM_F_NO_RESCUE)) {
+        // anchors snapshotted for BOTH ends before rescue mutates either
+        std::vector<AlnReg> b[2];
+        for (i32 i = 0; i < 2; ++i)
+            if (!a[i].empty())
+                for (const AlnReg &reg : a[i])
+                    if (reg.score >= a[i][0].score - opt.pen_unpaired)
+                        b[i].push_back(reg);
+        for (i32 i = 0; i < 2; ++i)
+            for (i64 j = 0; j < (i64)b[i].size(); ++j) {
+                if (j >= opt.max_matesw) break;
+                matesw(bns, opt, pes, b[i][j], l_enc[!i], enc[!i], a[!i],
+                       rescue, pair_idx, i, (i32)j);
+            }
+    }
+    i64 n_pri[2];
+    for (i32 i = 0; i < 2; ++i)
+        n_pri[i] = mark_primary(opt, a[i], (pair_id << 1) | i);
+    if (opt.flag & MEM_F_PRIMARY5) {
+        reorder_primary5(opt.T, a[0]);
+        reorder_primary5(opt.T, a[1]);
+    }
+
+    if (!(opt.flag & MEM_F_NOPAIRING) && n_pri[0] && n_pri[1]) {
+        i32 o, subo, n_sub;
+        i64 z[2];
+        mem_pair(bns, opt, pes, a, pair_id, n_pri, &o, &subo, &n_sub, z);
+        if (o > 0) {
+            bool is_multi[2] = {false, false};
+            for (i32 i = 0; i < 2; ++i)
+                for (i64 j = 1; j < n_pri[i]; ++j)
+                    if (a[i][j].secondary < 0 && a[i][j].score >= opt.T) {
+                        is_multi[i] = true;
+                        break;
+                    }
+            if (!is_multi[0] && !is_multi[1]) {
+                i32 score_un = a[0][0].score + a[1][0].score
+                    - opt.pen_unpaired;
+                subo = std::max(subo, score_un);
+                i32 q_pe = raw_mapq(o - subo, opt.a);
+                if (n_sub > 0)
+                    q_pe -= (i32)(4.343 * std::log(n_sub + 1.0) + 0.499);
+                q_pe = std::min(std::max(q_pe, 0), 60);
+                q_pe = (i32)(q_pe * (1.0 - 0.5 * (a[0][0].frac_rep
+                                                  + a[1][0].frac_rep))
+                             + 0.499);
+                i32 q_se[2];
+                if (o > score_un) {   // paired alignment preferred
+                    AlnReg *c[2] = {&a[0][z[0]], &a[1][z[1]]};
+                    for (i32 i = 0; i < 2; ++i) {
+                        if (c[i]->secondary >= 0) {
+                            c[i]->sub = a[i][c[i]->secondary].score;
+                            c[i]->secondary = -2;
+                        }
+                        q_se[i] = approx_mapq(opt, *c[i]);
+                    }
+                    for (i32 i = 0; i < 2; ++i) {
+                        q_se[i] = q_se[i] > q_pe
+                            ? q_se[i] : std::min(q_pe, q_se[i] + 40);
+                        i32 cap = raw_mapq(c[i]->score - c[i]->csub, opt.a);
+                        q_se[i] = std::min(q_se[i], cap);
+                    }
+                    extra_flag |= 2;
+                } else {
+                    z[0] = z[1] = 0;
+                    q_se[0] = approx_mapq(opt, a[0][0]);
+                    q_se[1] = approx_mapq(opt, a[1][0]);
+                }
+                // swap secondary and primary if both non-ALT
+                for (i32 i = 0; i < 2; ++i) {
+                    i32 k = a[i][z[i]].secondary_all;
+                    if (0 <= k && k < n_pri[i]) {
+                        for (i64 j = 0; j < (i64)a[i].size(); ++j)
+                            if (a[i][j].secondary_all == k || j == k)
+                                a[i][j].secondary_all = (i32)z[i];
+                        a[i][z[i]].secondary_all = -1;
+                    }
+                }
+                std::vector<std::string> XA[2];
+                std::vector<bool> hasXA[2];
+                if (!(opt.flag & MEM_F_ALL))
+                    for (i32 i = 0; i < 2; ++i)
+                        gen_alt(bns, opt, a[i], l_enc[i], enc[i], XA[i],
+                                hasXA[i]);
+                std::vector<Aln> aa[2];
+                for (i32 i = 0; i < 2; ++i) {
+                    aa[i].emplace_back();
+                    reg2aln(bns, opt, l_enc[i], enc[i], &a[i][z[i]],
+                            aa[i][0]);
+                    aa[i][0].mapq = q_se[i];
+                    aa[i][0].flag |= (0x40 << i) | extra_flag;
+                    if (!XA[i].empty() && hasXA[i][z[i]]) {
+                        aa[i][0].XA = XA[i][z[i]];
+                        aa[i][0].has_XA = true;
+                    }
+                    if (n_pri[i] < (i64)a[i].size()) {
+                        const AlnReg &p = a[i][n_pri[i]];
+                        if (p.score >= opt.T && p.secondary < 0
+                                && p.is_alt) {
+                            aa[i].emplace_back();
+                            reg2aln(bns, opt, l_enc[i], enc[i], &p,
+                                    aa[i][1]);
+                            aa[i][1].flag |= 0x800 | (0x40 << i)
+                                | extra_flag;
+                            if (!XA[i].empty() && hasXA[i][n_pri[i]]) {
+                                aa[i][1].XA = XA[i][n_pri[i]];
+                                aa[i][1].has_XA = true;
+                            }
+                        }
+                    }
+                }
+                for (i32 i = 0; i < (i32)aa[0].size(); ++i)
+                    aln2sam(bns, opt, rd[0], (i32)aa[0].size(), aa[0], i,
+                            &aa[1][0], rg_id, l_rg, out[0]);
+                for (i32 i = 0; i < (i32)aa[1].size(); ++i)
+                    aln2sam(bns, opt, rd[1], (i32)aa[1].size(), aa[1], i,
+                            &aa[0][0], rg_id, l_rg, out[1]);
+                return;
+            }
+        }
+    }
+
+    // no_pairing path
+    Aln h[2];
+    for (i32 i = 0; i < 2; ++i) {
+        i64 which = -1;
+        if (!a[i].empty()) {
+            if (a[i][0].score >= opt.T) which = 0;
+            else if (n_pri[i] < (i64)a[i].size()
+                     && a[i][n_pri[i]].score >= opt.T)
+                which = n_pri[i];
+        }
+        reg2aln(bns, opt, l_enc[i], enc[i],
+                which >= 0 ? &a[i][which] : nullptr, h[i]);
+    }
+    if (!(opt.flag & MEM_F_NOPAIRING) && h[0].rid == h[1].rid
+            && h[0].rid >= 0 && !a[0].empty() && !a[1].empty()) {
+        i64 dist;
+        i32 d = infer_dir(bns.l_pac, a[0][0].rb, a[1][0].rb, &dist);
+        if (!pes[d].failed && pes[d].low <= dist && dist <= pes[d].high)
+            extra_flag |= 2;
+    }
+    reg2sam(bns, opt, rd[0], enc[0], l_enc[0], a[0], 0x41 | extra_flag,
+            &h[1], rg_id, l_rg, out[0]);
+    reg2sam(bns, opt, rd[1], enc[1], l_enc[1], a[1], 0x81 | extra_flag,
+            &h[0], rg_id, l_rg, out[1]);
+}
+
 } // namespace
 
 // ---------------------------------------------------------------------------
@@ -1021,5 +1424,285 @@ char *rt_finalize_se_batch(const BnsC *bns, const MemOptC *opt,
 }
 
 void rt_free(void *p) { free(p); }
+
+// Batched mem_pestat (pairing.py:63-113, bwamem_pair.cpp:81-148) over the
+// chunk's flat regions.  out holds 6 doubles per orientation d:
+// {failed, low, high, avg, std, n_raw}; the caller prints the [PE] lines
+// (for d with n_raw >= 10) and applies nothing else — the
+// max-count-ratio failure pass is already applied here.
+void rt_pestat_batch(const BnsC *bns, const MemOptC *opt, const RegsC *R,
+                     i64 n_reads, double *out) {
+    constexpr i32 MIN_DIR_CNT = 10;
+    constexpr double MIN_DIR_RATIO = 0.05, OUTLIER = 2.0, MAPPING = 3.0,
+                     MAX_STDDEV = 4.0;
+    std::vector<i64> isize[4];
+    auto cal_sub = [&](i64 s, i64 e) -> i32 {
+        // _cal_sub: first hit overlapping the best (pairing.py:52-60)
+        for (i64 j = s + 1; j < e; ++j) {
+            i32 b_max = std::max(R->qb[j], R->qb[s]);
+            i32 e_min = std::min(R->qe[j], R->qe[s]);
+            if (e_min > b_max) {
+                i32 min_l = std::min(R->qe[j] - R->qb[j],
+                                     R->qe[s] - R->qb[s]);
+                if ((float)(e_min - b_max)
+                        >= (float)min_l * opt->mask_level)
+                    return R->score[j];
+            }
+        }
+        return opt->min_seed_len * opt->a;
+    };
+    for (i64 p = 0; p < n_reads >> 1; ++p) {
+        i64 s0 = R->off[p << 1], e0 = R->off[(p << 1) + 1];
+        i64 s1 = e0, e1 = R->off[(p << 1) + 2];
+        if (s0 == e0 || s1 == e1) continue;
+        if (cal_sub(s0, e0) > MIN_RATIO_PE * R->score[s0]) continue;
+        if (cal_sub(s1, e1) > MIN_RATIO_PE * R->score[s1]) continue;
+        if (R->rid[s0] != R->rid[s1]) continue;
+        i64 dist;
+        i32 d = infer_dir(bns->l_pac, R->rb[s0], R->rb[s1], &dist);
+        if (dist && dist <= opt->max_ins) isize[d].push_back(dist);
+    }
+    PEStatC pes[4];
+    for (i32 d = 0; d < 4; ++d) {
+        double *o = out + d * 6;
+        auto &q = isize[d];
+        o[5] = (double)q.size();
+        if ((i64)q.size() < MIN_DIR_CNT) {
+            pes[d].failed = 1;
+            o[0] = 1; o[1] = o[2] = o[3] = o[4] = 0;
+            continue;
+        }
+        std::sort(q.begin(), q.end());
+        i64 n = (i64)q.size();
+        i64 p25 = q[(i64)(0.25 * n + 0.499)];
+        i64 p50 = q[(i64)(0.50 * n + 0.499)];
+        (void)p50;
+        i64 p75 = q[(i64)(0.75 * n + 0.499)];
+        i32 low = std::max((i32)(p25 - OUTLIER * (p75 - p25) + 0.499), 1);
+        i32 high = (i32)(p75 + OUTLIER * (p75 - p25) + 0.499);
+        i64 sum = 0, cnt = 0;
+        for (i64 x : q)
+            if (low <= x && x <= high) { sum += x; ++cnt; }
+        double avg = (double)sum / cnt;
+        double var = 0;
+        for (i64 x : q)
+            if (low <= x && x <= high) var += (x - avg) * (x - avg);
+        double std_ = std::sqrt(var / cnt);
+        low = (i32)(p25 - MAPPING * (p75 - p25) + 0.499);
+        high = (i32)(p75 + MAPPING * (p75 - p25) + 0.499);
+        if (low > avg - MAX_STDDEV * std_)
+            low = (i32)(avg - MAX_STDDEV * std_ + 0.499);
+        if (high < avg + MAX_STDDEV * std_)
+            high = (i32)(avg + MAX_STDDEV * std_ + 0.499);
+        if (low < 1) low = 1;
+        pes[d].failed = 0;
+        o[0] = 0; o[1] = low; o[2] = high; o[3] = avg; o[4] = std_;
+    }
+    i64 mx = 0;
+    for (i32 d = 0; d < 4; ++d)
+        mx = std::max(mx, (i64)isize[d].size());
+    for (i32 d = 0; d < 4; ++d)
+        if (pes[d].failed == 0 && (double)isize[d].size()
+                < mx * MIN_DIR_RATIO)
+            out[d * 6] = 1;
+}
+
+// layout of the rescue-problem batch returned by rt_rescue_pre_batch
+struct RescueOut {
+    i64 n;
+    i32 *key_p, *key_end, *key_j, *key_r;
+    i64 *qoff;
+    i32 *qdir;
+    u8 *qcomp;
+    i32 *qlen;
+    i64 *toff;
+    i32 *tlen;
+    u8 *u8c;
+};
+
+// mem_sam_pe_batch_pre / mem_matesw_batch_pre analog (pairing.py:193-266,
+// bwamem_pair.cpp:553-602): collect a SUPERSET of the chunk's mate-rescue
+// SW problems as device-kernel descriptors.  Free with rt_rescue_out_free.
+RescueOut *rt_rescue_pre_batch(const BnsC *bns, const MemOptC *opt,
+                               const ReadsC *reads, const RegsC *R,
+                               const double *pes6, i64 L) {
+    PEStatC pes[4];
+    for (i32 d = 0; d < 4; ++d) {
+        pes[d].failed = (i32)pes6[d * 6];
+        pes[d].low = (i32)pes6[d * 6 + 1];
+        pes[d].high = (i32)pes6[d * 6 + 2];
+        pes[d].avg = pes6[d * 6 + 3];
+        pes[d].std = pes6[d * 6 + 4];
+    }
+    std::vector<i32> kp, ke, kj, kr, qdir, qlen, tlen;
+    std::vector<i64> qoff, toff;
+    std::vector<u8> qcomp, u8c;
+    bool all_failed = pes[0].failed && pes[1].failed && pes[2].failed
+        && pes[3].failed;
+    if (!(opt->flag & MEM_F_NO_RESCUE) && !all_failed) {
+        std::vector<AlnReg> a[2], b[2];
+        for (i64 p = 0; p < reads->n >> 1; ++p) {
+            load_regs(*R, p << 1, a[0]);
+            load_regs(*R, (p << 1) | 1, a[1]);
+            if (a[0].empty() && a[1].empty()) continue;
+            for (i32 i = 0; i < 2; ++i) {
+                b[i].clear();
+                if (!a[i].empty())
+                    for (const AlnReg &reg : a[i])
+                        if (reg.score >= a[i][0].score - opt->pen_unpaired)
+                            b[i].push_back(reg);
+            }
+            for (i32 i = 0; i < 2; ++i) {
+                i64 mate_row = (p << 1) | (i == 0 ? 1 : 0);
+                i32 l_ms = (i32)(reads->seq_off[mate_row + 1]
+                                 - reads->seq_off[mate_row]);
+                for (i64 j = 0; j < (i64)b[i].size(); ++j) {
+                    if (j >= opt->max_matesw) break;
+                    bool skip[4];
+                    for (i32 r = 0; r < 4; ++r)
+                        skip[r] = pes[r].failed != 0;
+                    for (const AlnReg &reg : a[i == 0 ? 1 : 0]) {
+                        i64 dist;
+                        i32 r = infer_dir(bns->l_pac, b[i][j].rb, reg.rb,
+                                          &dist);
+                        if (pes[r].low <= dist && dist <= pes[r].high)
+                            skip[r] = true;
+                    }
+                    for (i32 r = 0; r < 4; ++r) {
+                        if (skip[r]) continue;
+                        i64 rb, re;
+                        bool is_rev;
+                        matesw_window(pes, r, b[i][j].rb, l_ms, bns->l_pac,
+                                      &rb, &re, &is_rev);
+                        if (rb >= re) continue;
+                        i32 rid;
+                        i64 rlen;
+                        fetch_seq(*bns, rb, (rb + re) >> 1, re, &rid, &rb,
+                                  &re, &rlen);
+                        if (b[i][j].rid != rid
+                                || re - rb < opt->min_seed_len)
+                            continue;
+                        kp.push_back((i32)p);
+                        ke.push_back(i);
+                        kj.push_back((i32)j);
+                        kr.push_back(r);
+                        qoff.push_back(mate_row * L
+                                       + (is_rev ? l_ms - 1 : 0));
+                        qdir.push_back(is_rev ? -1 : 1);
+                        qcomp.push_back(is_rev ? 1 : 0);
+                        qlen.push_back(l_ms);
+                        toff.push_back(rb);
+                        tlen.push_back((i32)(re - rb));
+                        u8c.push_back((i64)l_ms * opt->a < 250 ? 1 : 0);
+                    }
+                }
+            }
+        }
+    }
+    i64 n = (i64)kp.size();
+    size_t bytes = sizeof(RescueOut) + n * (4 * 4 + 8 + 4 + 1 + 4 + 8 + 4
+                                            + 1) + 64;
+    char *blk = (char *)malloc(bytes);
+    RescueOut *ro = (RescueOut *)blk;
+    char *cur = blk + sizeof(RescueOut);
+    auto take = [&](size_t sz) { char *p = cur; cur += sz; return p; };
+    ro->n = n;
+    ro->key_p = (i32 *)take(n * 4);
+    ro->key_end = (i32 *)take(n * 4);
+    ro->key_j = (i32 *)take(n * 4);
+    ro->key_r = (i32 *)take(n * 4);
+    ro->qoff = (i64 *)take(n * 8);
+    ro->qdir = (i32 *)take(n * 4);
+    ro->qcomp = (u8 *)take(n);
+    ro->qlen = (i32 *)take(n * 4);
+    ro->toff = (i64 *)take(n * 8);
+    ro->tlen = (i32 *)take(n * 4);
+    ro->u8c = (u8 *)take(n);
+    if (n) {
+        memcpy(ro->key_p, kp.data(), n * 4);
+        memcpy(ro->key_end, ke.data(), n * 4);
+        memcpy(ro->key_j, kj.data(), n * 4);
+        memcpy(ro->key_r, kr.data(), n * 4);
+        memcpy(ro->qoff, qoff.data(), n * 8);
+        memcpy(ro->qdir, qdir.data(), n * 4);
+        memcpy(ro->qcomp, qcomp.data(), n);
+        memcpy(ro->qlen, qlen.data(), n * 4);
+        memcpy(ro->toff, toff.data(), n * 8);
+        memcpy(ro->tlen, tlen.data(), n * 4);
+        memcpy(ro->u8c, u8c.data(), n);
+    }
+    return ro;
+}
+
+// Batched mem_sam_pe over the chunk's pairs (worker_sam PE path,
+// bwamem.cpp:1256-1268 + mem_sam_pe_batch_post consumption).  `res7` holds
+// the device kswv results for the rescue problems keyed by the rt_rescue_
+// pre_batch key arrays (n_rescue == 0 -> all rescues run the scalar kernel
+// here).  Returns the SAM blob; per_len[i] = read i's byte length.
+char *rt_sam_pe_batch(const BnsC *bns, const MemOptC *opt,
+                      const ReadsC *reads, RegsC *R, const double *pes6,
+                      i64 n_processed_pairs, i64 n_rescue, const i32 *key_p,
+                      const i32 *key_end, const i32 *key_j,
+                      const i32 *key_r, const i32 *res7, const char *rg_id,
+                      i64 l_rg, i64 *per_len, i64 *out_len) {
+    PEStatC pes[4];
+    for (i32 d = 0; d < 4; ++d) {
+        pes[d].failed = (i32)pes6[d * 6];
+        pes[d].low = (i32)pes6[d * 6 + 1];
+        pes[d].high = (i32)pes6[d * 6 + 2];
+        pes[d].avg = pes6[d * 6 + 3];
+        pes[d].std = pes6[d * 6 + 4];
+    }
+    RescueMap rm;
+    rm.n = n_rescue;
+    rm.key_p = key_p;
+    rm.key_end = key_end;
+    rm.key_j = key_j;
+    rm.key_r = key_r;
+    rm.res = res7;
+    if (n_rescue) rm.build();
+    std::string blob;
+    blob.reserve((size_t)reads->n * 256);
+    std::vector<AlnReg> a[2];
+    std::vector<u8> encbuf[2];
+    for (i64 p = 0; p < reads->n >> 1; ++p) {
+        ReadView rd[2];
+        const u8 *enc[2];
+        i32 l_enc[2];
+        for (i32 i = 0; i < 2; ++i) {
+            i64 row = (p << 1) | i;
+            load_regs(*R, row, a[i]);
+            rd[i].name = reads->name_blob + reads->name_off[row];
+            rd[i].l_name = reads->name_off[row + 1] - reads->name_off[row];
+            rd[i].seq = reads->seq_blob + reads->seq_off[row];
+            rd[i].l_seq = reads->seq_off[row + 1] - reads->seq_off[row];
+            rd[i].qual = reads->qual_blob + reads->qual_off[row];
+            rd[i].l_qual = reads->qual_off[row + 1] - reads->qual_off[row];
+            rd[i].comment = reads->comment_blob + reads->comment_off[row];
+            rd[i].l_comment = reads->comment_off[row + 1]
+                - reads->comment_off[row];
+            encode_read(rd[i].seq, rd[i].l_seq, encbuf[i]);
+            enc[i] = encbuf[i].data();
+            l_enc[i] = (i32)rd[i].l_seq;
+        }
+        if (rd[0].l_name != rd[1].l_name
+                || memcmp(rd[0].name, rd[1].name, rd[0].l_name) != 0) {
+            *out_len = -1;       // paired reads have different names
+            return nullptr;
+        }
+        std::string out2[2];
+        sam_pe_one(*bns, *opt, pes, n_processed_pairs + p, rd, enc, l_enc,
+                   a, rm, p, rg_id, l_rg, out2);
+        per_len[p << 1] = (i64)out2[0].size();
+        per_len[(p << 1) | 1] = (i64)out2[1].size();
+        blob += out2[0];
+        blob += out2[1];
+    }
+    char *buf = (char *)malloc(blob.size() + 1);
+    memcpy(buf, blob.data(), blob.size());
+    buf[blob.size()] = 0;
+    *out_len = (i64)blob.size();
+    return buf;
+}
 
 } // extern "C"

@@ -19,13 +19,15 @@ from ..utils.profiling import PROF
 from . import bucket_pow2, round_up
 from .device_index import DeviceFMIndex
 from .salookup import sa_lookup_kernel
-from .smem import (round1_compact_kernel, round2_backward_kernel,
-                   round2_forward_kernel, round3_replay_kernel)
+from .smem import (round1_chain_kernel, round1_compact_kernel,
+                   round2_backward_kernel, round2_forward_kernel,
+                   round3_replay_kernel)
 
 ROUND2_MAX_CAND = 24  # distinct interval sizes along one forward path:
 # observed max 15 on 100kb/4.6Mb genomes, ~log(genome); overflow pivots
 # fall back to the exact host oracle
 ROUND1_CAP = 24   # compact SMEM slots per read; overflow -> host oracle
+ROUND1_PIVOT_CAP = 48  # pivot-chain slots per read; overflow -> host oracle
 
 
 def _pad_reads(encs: list[np.ndarray], L: int | None = None):
@@ -45,9 +47,13 @@ def _pad_reads(encs: list[np.ndarray], L: int | None = None):
 class DeviceBackend:
     def __init__(self, fm: FMIndex, opt, device=None, bucket: int = 512,
                  use_device_bsw: bool = True, use_klut: bool = True,
-                 index_prefix: str | None = None):
+                 index_prefix: str | None = None,
+                 pivot_seeding: bool = True):
         self.fm = fm
         self.opt = opt
+        # round-1 strategy: reference-shaped pivot chain (default) vs the
+        # O(L^2) per-end grid walk (round1_compact_kernel)
+        self.pivot_seeding = pivot_seeding
         self.lut_k_bits = 0
         lut = None
         if use_klut:
@@ -100,13 +106,19 @@ class DeviceBackend:
 
         per_read: list[list[tuple]] = [[] for _ in encs]
 
-        # ---- round 1: device walk + emit + compaction; tiny transfers ----
+        # ---- round 1 ----
         # round 3 is enqueued right behind it (it only needs enc) so the
         # device computes it while the host chews on rounds 1-2.
         t0 = __import__("time").perf_counter()
-        r1 = round1_compact_kernel(
-            self.dfm, encj, lensj, self.lut_k_bits,
-            jnp.int32(opt.min_seed_len), ROUND1_CAP, self.small_index)
+        if self.pivot_seeding:
+            # reference-shaped pivot chain (see round1_chain_kernel): the
+            # per-pivot forward/backward passes reuse the round-2 kernels
+            # with min_intv=1
+            r1 = round1_chain_kernel(self.dfm, encj, lensj, ROUND1_PIVOT_CAP)
+        else:
+            r1 = round1_compact_kernel(
+                self.dfm, encj, lensj, self.lut_k_bits,
+                jnp.int32(opt.min_seed_len), ROUND1_CAP, self.small_index)
         r3 = None
         if opt.max_mem_intv > 0:
             msl_p1 = max(opt.min_seed_len + 1, 2)
@@ -115,17 +127,33 @@ class DeviceBackend:
             r3 = round3_replay_kernel(
                 self.dfm, encj, lensj, jnp.int64(opt.max_mem_intv),
                 jnp.int32(msl_p1), cap3)
-        cnt, n1, b1, s1, k1 = [a[:NR] for a in jax.device_get(r1)]
-        overflow_reads = np.nonzero(cnt > ROUND1_CAP)[0]
-        oflow = set(overflow_reads.tolist())
-        for rid in range(NR):
-            if rid in oflow:
-                continue
-            c = int(cnt[rid])
-            nr, br, kr, sr = n1[rid], b1[rid], k1[rid], s1[rid]
-            per_read[rid] = [(rid, int(br[j]), int(nr[j]), int(kr[j]), 0,
-                              int(sr[j])) for j in range(c)]
-        PROF.add("seeding.round1", __import__("time").perf_counter() - t0)
+        if self.pivot_seeding:
+            npiv, px = jax.device_get(r1)
+            npiv = npiv[:NR]
+            px = px[:NR]
+            overflow_reads = np.nonzero(npiv > ROUND1_PIVOT_CAP)[0]
+            oflow = set(overflow_reads.tolist())
+            pivots_r1 = [(rid, int(px[rid, j]), 1)
+                         for rid in range(NR) if rid not in oflow
+                         for j in range(int(npiv[rid]))]
+            PROF.add("seeding.round1",
+                     __import__("time").perf_counter() - t0)
+            if pivots_r1:
+                with PROF("seeding.round1b"):
+                    self._round2(encj, lens, pivots_r1, opt, per_read, encs)
+        else:
+            cnt, n1, b1, s1, k1 = [a[:NR] for a in jax.device_get(r1)]
+            overflow_reads = np.nonzero(cnt > ROUND1_CAP)[0]
+            oflow = set(overflow_reads.tolist())
+            for rid in range(NR):
+                if rid in oflow:
+                    continue
+                c = int(cnt[rid])
+                nr, br, kr, sr = n1[rid], b1[rid], k1[rid], s1[rid]
+                per_read[rid] = [(rid, int(br[j]), int(nr[j]), int(kr[j]),
+                                  0, int(sr[j])) for j in range(c)]
+            PROF.add("seeding.round1",
+                     __import__("time").perf_counter() - t0)
 
         # ---- round 2: re-seed long low-occurrence SMEMs ----
         split_len = int(opt.min_seed_len * opt.split_factor + 0.499)

@@ -265,9 +265,18 @@ class DeviceBSW:
         if len(dev_idx):
             # the DP arrays are (P, Qmax+1): size Qmax so that Qmax+1 is a
             # multiple of the 128-wide vector lanes (129 would pad to 256
-            # and waste half the VPU)
-            Q = round_up(int(qls[dev_idx].max()) + 1, 128) - 1
-            T = round_up(int(tls[dev_idx].max()), 32)
+            # and waste half the VPU).  Q and T come from FIXED ladders, not
+            # the batch maxima: every distinct (P, Q, T) is a separate XLA
+            # compile (~1-2 min each through the tunnel), so per-chunk
+            # maxima would recompile nearly every chunk.  The T rungs cost
+            # at most ~1.45x extra DP rows vs a tight tile — far cheaper
+            # than the compiles they avoid.
+            qmax = int(qls[dev_idx].max())
+            tmax = int(tls[dev_idx].max())
+            Q = 127 if qmax <= 127 else 255 if qmax <= 255 else 383
+            for T in (96, 160, 224, 320, 448, TCAP):
+                if tmax <= T:
+                    break
             buckets = [((Q, T), dev_idx.tolist())]
         for (Q, T), idxs in buckets:
             P = bucket_pow2(len(idxs), 128)

@@ -227,8 +227,15 @@ class DeviceKswv:
         host_idx = set(np.nonzero(~desc["u8"])[0].tolist())
         if len(dev):
             P = bucket_pow2(len(dev), 64)
-            Qmax = round_up(int(desc["qlen"][dev].max(initial=1)), 16)
-            Tmax = round_up(int(desc["tlen"][dev].max(initial=1)), 32)
+            # fixed shape ladders (not batch maxima): every distinct
+            # (P, Qmax, Tmax) is its own XLA compile, and rescue-window
+            # maxima vary chunk to chunk (see ops/bsw.py for the rationale)
+            qm = int(desc["qlen"][dev].max(initial=1))
+            tm = int(desc["tlen"][dev].max(initial=1))
+            Qmax = next(q for q in (64, 128, 160, 256, 512)
+                        if qm <= q) if qm <= 512 else round_up(qm, 128)
+            Tmax = next(t for t in (256, 512, 768, 1024, 1536, 2048)
+                        if tm <= t) if tm <= 2048 else round_up(tm, 256)
 
             def pad(a, dt, fill=0):
                 v = np.full((P,), fill, dt)

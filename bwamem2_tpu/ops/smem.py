@@ -293,6 +293,85 @@ def round3_replay_kernel(dfm: DeviceFMIndex, enc: jax.Array,
     return st[6], st[7], st[8], st[9], st[10]
 
 
+@partial(jax.jit, static_argnums=(3,))
+def round1_chain_kernel(dfm: DeviceFMIndex, enc: jax.Array,
+                        lens: jax.Array, cap: int):
+    """Round-1 pivot-chain discovery, one lane per READ.
+
+    The reference's round 1 is a sequential pivot chain per read
+    (getSMEMsAllPosOneThread, FMI_search.cpp:672-724): pivot x forward-walks
+    until the interval empties (stop j -> next pivot = j), an N stops the
+    segment (next pivot = j+1), a clean run to the end finishes the read.
+    Discovering the chain costs ~2L lane-steps per read; the per-pivot
+    candidate collection + backward walks then run through the round-2
+    kernels (round2_forward/backward_kernel with min_intv=1).  Total LF
+    work is O(L * pivots) instead of the O(0.625 L^2) per-end grid — the
+    difference is ~10x at 150bp on low-error reads.
+
+    Returns npiv int32[N] (true pivot count; > cap -> caller falls back)
+    and x int16[N, cap]."""
+    N, L = enc.shape
+    enc = enc.astype(jnp.int32)
+    x = jnp.zeros((N,), jnp.int32)
+    col = jnp.zeros((N,), jnp.int32)
+    k = jnp.zeros((N,), I64)
+    l = jnp.zeros((N,), I64)
+    s = jnp.zeros((N,), I64)
+    seg = jnp.zeros((N,), bool)
+    npiv = jnp.zeros((N,), jnp.int32)
+    out_x = jnp.full((N, cap), -1, jnp.int16)
+    slot_iota = jnp.arange(cap, dtype=jnp.int32)[None, :]
+
+    def body(_, st):
+        x, col, k, l, s, seg, npiv, out_x = st
+        done = x >= lens
+        # -- lanes not in a segment: try to start a pivot at x --
+        starting = ~done & ~seg
+        c0 = jnp.take_along_axis(
+            enc, jnp.clip(x, 0, L - 1)[:, None], axis=1)[:, 0]
+        start_ok = starting & (c0 < 4)
+        x = jnp.where(starting & ~start_ok, x + 1, x)   # N at x: next_x=x+1
+        # emit the pivot
+        onehot = (slot_iota == jnp.clip(npiv, 0, cap - 1)[:, None]) \
+            & start_ok[:, None]
+        out_x = jnp.where(onehot, x[:, None].astype(jnp.int16), out_x)
+        npiv = npiv + start_ok.astype(jnp.int32)
+        c0c = jnp.where(start_ok, c0, 0)
+        k = jnp.where(start_ok, dfm.counts[c0c], k)
+        l = jnp.where(start_ok, dfm.counts[3 - c0c], l)
+        s = jnp.where(start_ok, dfm.counts[c0c + 1] - dfm.counts[c0c], s)
+        col = jnp.where(start_ok, x + 1, col)
+        # -- lanes in a segment: advance one column --
+        adv = ~done & seg
+        inb = col < lens
+        c = jnp.take_along_axis(
+            enc, jnp.clip(col, 0, L - 1)[:, None], axis=1)[:, 0]
+        # clean run to the read end: next_x = len (lane done)
+        end_nat = adv & ~inb
+        x = jnp.where(end_nat, lens, x)
+        # N at col: next_x = col + 1
+        end_n = adv & inb & (c >= 4)
+        x = jnp.where(end_n, col + 1, x)
+        ok = adv & inb & (c < 4)
+        cc = jnp.where(ok, 3 - c, 0)
+        nl, nk, ns = backward_ext_full(dfm, l, k, s, cc)
+        # interval empties at col: next_x = col (re-read this column)
+        dies = ok & (ns < 1)
+        x = jnp.where(dies, col, x)
+        grow = ok & ~dies
+        k = jnp.where(grow, nk, k)
+        l = jnp.where(grow, nl, l)
+        s = jnp.where(grow, ns, s)
+        col = jnp.where(grow, col + 1, col)
+        seg = jnp.where(adv, grow, seg)
+        seg = jnp.where(start_ok, True, seg)
+        return x, col, k, l, s, seg, npiv, out_x
+
+    st = (x, col, k, l, s, seg, npiv, out_x)
+    st = fori_unroll2(0, 2 * L + 2, body, st)
+    return st[6], st[7]
+
+
 @partial(jax.jit, static_argnums=(5,))
 def round2_forward_kernel(dfm: DeviceFMIndex, enc: jax.Array,
                           rid: jax.Array, x: jax.Array,

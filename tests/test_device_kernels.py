@@ -183,18 +183,19 @@ def test_end_to_end_pe_device_backend_golden(fm, backend):
                        FastxReader(os.path.join(DATA, "reads_r2.fq")), 10**9)
     from bwamem2_tpu.ops.backend import DeviceBackend
     be = DeviceBackend(fm, opt)
-    import bwamem2_tpu.align.pairing as pairing
+    from bwamem2_tpu.native import hostrt
     n_batched = [0]
-    orig = pairing.batch_rescue_pre
+    orig = hostrt.rescue_pre_batch
     def spy(*a, **k):
         desc, keys = orig(*a, **k)
-        n_batched[0] += len(keys)
+        if keys is not None:
+            n_batched[0] += len(keys["key_p"])
         return desc, keys
-    pairing.batch_rescue_pre = spy
+    hostrt.rescue_pre_batch = spy
     try:
         Aligner(fm, opt, backend=be, verbose=0).process(reads, 0)
     finally:
-        pairing.batch_rescue_pre = orig
+        hostrt.rescue_pre_batch = orig
     with open(os.path.join(FIXTURES, "golden_pe.sam")) as f:
         golden = [l for l in f if not l.startswith("@")]
     ours = "".join(r.sam for r in reads).splitlines(keepends=True)
