@@ -73,6 +73,21 @@ class RegsC(ctypes.Structure):
     ]
 
 
+class FmiC(ctypes.Structure):
+    _fields_ = [
+        ("counts", _pi64), ("cp_count", _pi64),
+        ("one_hot", POINTER(ctypes.c_uint64)), ("sentinel", c_int64),
+    ]
+
+
+class SmemsOutC(ctypes.Structure):
+    _fields_ = [
+        ("n", c_int64),
+        ("rid", _pi32), ("m", _pi32), ("nn", _pi32),
+        ("k", _pi64), ("l", _pi64), ("s", _pi64),
+    ]
+
+
 class RescueOutC(ctypes.Structure):
     _fields_ = [
         ("n", c_int64),
@@ -112,10 +127,66 @@ def _lib():
             POINTER(RegsC), POINTER(ctypes.c_double), c_int64, c_int64,
             _pi32, _pi32, _pi32, _pi32, _pi32, c_char_p, c_int64,
             _pi64, _pi64]
+        lib.rt_smems_pivots.restype = POINTER(SmemsOutC)
+        lib.rt_smems_pivots.argtypes = [
+            POINTER(FmiC), np.ctypeslib.ndpointer(np.uint8,
+                                                  flags="C_CONTIGUOUS"),
+            _pi64, c_int64, _pi32, _pi32, _pi64, c_int32]
         lib.rt_free.restype = None
         lib.rt_free.argtypes = [c_void_p]
         _proto_done = True
     return lib
+
+
+def fmi_view(fm) -> FmiC:
+    """FmiC over the loaded index arrays (cached on the FMIndex)."""
+    v = getattr(fm, "_fmi_view", None)
+    if v is None:
+        cc = np.ascontiguousarray(fm.cp_count, np.int64)
+        oh = np.ascontiguousarray(fm.one_hot, np.uint64)
+        cn = np.ascontiguousarray(fm.counts, np.int64)
+        c = FmiC()
+        c.counts = cn.ctypes.data_as(_pi64)
+        c.cp_count = cc.ctypes.data_as(_pi64)
+        c.one_hot = oh.ctypes.data_as(POINTER(ctypes.c_uint64))
+        c.sentinel = int(fm.sentinel_index)
+        v = (c, cc, oh, cn)   # keep the buffers referenced
+        fm._fmi_view = v
+    return v[0]
+
+
+def smems_pivots(fm, encs, prid, px, min_intv, min_seed_len: int):
+    """Exact smems_one_pos over a batch of pivots (the device-cap overflow
+    fallback).  Returns a list of (rid, m, n, k, l, s) tuples."""
+    lib = _lib()
+    fc = fmi_view(fm)
+    blob = np.ascontiguousarray(np.concatenate(encs), np.uint8) \
+        if encs else np.zeros(0, np.uint8)
+    off = _offsets([len(e) for e in encs])
+    prid = np.ascontiguousarray(prid, np.int32)
+    px = np.ascontiguousarray(px, np.int32)
+    mi = np.ascontiguousarray(min_intv, np.int64)
+    sop = lib.rt_smems_pivots(ctypes.byref(fc), blob,
+                              off.ctypes.data_as(_pi64), len(prid),
+                              prid.ctypes.data_as(_pi32),
+                              px.ctypes.data_as(_pi32),
+                              mi.ctypes.data_as(_pi64), min_seed_len)
+    so = sop.contents
+    n = so.n
+    if n == 0:
+        lib.rt_free(sop)
+        return []
+    arr = lambda p, dt: np.ctypeslib.as_array(p, shape=(n,)).astype(
+        dt, copy=True)
+    rid = arr(so.rid, np.int64)
+    m = arr(so.m, np.int64)
+    nn = arr(so.nn, np.int64)
+    k = arr(so.k, np.int64)
+    ll = arr(so.l, np.int64)
+    s = arr(so.s, np.int64)
+    lib.rt_free(sop)
+    return [(int(rid[i]), int(m[i]), int(nn[i]), int(k[i]), int(ll[i]),
+             int(s[i])) for i in range(n)]
 
 
 def _offsets(lens) -> np.ndarray:

@@ -949,6 +949,125 @@ static void encode_read(const char *seq, i64 n, std::vector<u8> &enc) {
 }
 
 // ---------------------------------------------------------------------------
+// FM-index scalar ops + per-pivot SMEM enumeration (align/seeding.py spec;
+// FMI_search.cpp:496-670).  Used as the overflow fallback for the device
+// seeding kernels — a pivot whose candidate count exceeds the device cap is
+// re-enumerated here exactly.
+// ---------------------------------------------------------------------------
+
+struct FmiC {
+    const i64 *counts;    // int64[5], cumulative (+1 sentinel applied)
+    const i64 *cp_count;  // int64[nblocks][4]
+    const u64 *one_hot;   // uint64[nblocks][4], bit 63 = first char
+    i64 sentinel;
+};
+
+static inline i64 fmi_occ(const FmiC &f, i64 pos, i32 c) {
+    i64 blk = pos >> 6;
+    i64 y = pos & 63;
+    i64 base = f.cp_count[blk * 4 + c];
+    if (y == 0) return base;
+    u64 mask = (~0ull) << (64 - y);
+    return base + (i64)__builtin_popcountll(f.one_hot[blk * 4 + c] & mask);
+}
+
+// backwardExt (fmindex.py:backward_ext; FMI_search.cpp:1025-1052)
+static void fmi_backward_ext(const FmiC &f, i64 k, i64 l, i64 s, i32 a,
+                             i64 *ko, i64 *lo, i64 *so) {
+    i64 kk[4], ss[4], ll[4];
+    for (i32 b = 0; b < 4; ++b) {
+        i64 sp = fmi_occ(f, k, b);
+        i64 ep = fmi_occ(f, k + s, b);
+        kk[b] = f.counts[b] + sp;
+        ss[b] = ep - sp;
+    }
+    i64 sent = (k <= f.sentinel && f.sentinel < k + s) ? 1 : 0;
+    ll[3] = l + sent;
+    ll[2] = ll[3] + ss[3];
+    ll[1] = ll[2] + ss[2];
+    ll[0] = ll[1] + ss[1];
+    *ko = kk[a];
+    *lo = ll[a];
+    *so = ss[a];
+}
+
+struct SmemTuple { i32 rid, m, n; i64 k, l, s; };
+
+// smems_one_pos (align/seeding.py:23-100): enumerate SMEMs through pivot x
+static i64 smems_one_pos(const FmiC &f, const u8 *enc, i64 readlength,
+                         i32 rid, i64 x, i64 min_intv, i32 min_seed_len,
+                         std::vector<SmemTuple> &out) {
+    i64 next_x = x + 1;
+    i32 a = enc[x];
+    if (a >= 4) return next_x;
+    i64 k = f.counts[a];
+    i64 l = f.counts[3 - a];
+    i64 s = f.counts[a + 1] - f.counts[a];
+    i64 m = x, n = x;
+    struct Cand { i64 m, n, k, l, s; };
+    std::vector<Cand> prev, curr;
+    bool broke = false;
+    i64 j;
+    for (j = x + 1; j < readlength; ++j) {
+        i32 aj = enc[j];
+        next_x = j + 1;
+        if (aj >= 4) { broke = true; break; }
+        i64 nk, nl, ns;
+        // forward extension == backward on the RC index: swap k/l
+        fmi_backward_ext(f, l, k, s, 3 - aj, &nk, &nl, &ns);
+        std::swap(nk, nl);
+        if (ns != s) prev.push_back({m, n, k, l, s});
+        if (ns < min_intv) { next_x = j; broke = true; break; }
+        k = nk; l = nl; s = ns; n = j;
+    }
+    if (!broke) next_x = readlength;
+    if (s >= min_intv) prev.push_back({m, n, k, l, s});
+    std::reverse(prev.begin(), prev.end());   // longest-match first
+
+    for (j = x - 1; j >= 0; --j) {
+        if (prev.empty()) break;
+        i32 aj = enc[j];
+        if (aj >= 4) break;
+        curr.clear();
+        i64 curr_s = -1;
+        size_t p = 0;
+        for (; p < prev.size(); ++p) {
+            const Cand &c = prev[p];
+            i64 nk, nl, ns;
+            fmi_backward_ext(f, c.k, c.l, c.s, aj, &nk, &nl, &ns);
+            if (ns < min_intv && (c.n - c.m + 1) >= min_seed_len) {
+                out.push_back({rid, (i32)c.m, (i32)c.n, c.k, c.l, c.s});
+                ++p;
+                break;
+            }
+            if (ns >= min_intv && ns != curr_s) {
+                curr_s = ns;
+                curr.push_back({j, c.n, nk, nl, ns});
+                ++p;
+                break;
+            }
+        }
+        for (; p < prev.size(); ++p) {   // distinct survivors
+            const Cand &c = prev[p];
+            i64 nk, nl, ns;
+            fmi_backward_ext(f, c.k, c.l, c.s, aj, &nk, &nl, &ns);
+            if (ns >= min_intv && ns != curr_s) {
+                curr_s = ns;
+                curr.push_back({j, c.n, nk, nl, ns});
+            }
+        }
+        std::swap(prev, curr);
+        if (prev.empty()) break;
+    }
+    if (!prev.empty()) {
+        const Cand &c = prev[0];
+        if (c.n - c.m + 1 >= min_seed_len)
+            out.push_back({rid, (i32)c.m, (i32)c.n, c.k, c.l, c.s});
+    }
+    return next_x;
+}
+
+// ---------------------------------------------------------------------------
 // Paired-end: mem_pair / mem_matesw / mem_sam_pe (align/pairing.py spec;
 // bwamem_pair.cpp:58-551)
 // ---------------------------------------------------------------------------
@@ -1505,6 +1624,53 @@ void rt_pestat_batch(const BnsC *bns, const MemOptC *opt, const RegsC *R,
         if (pes[d].failed == 0 && (double)isize[d].size()
                 < mx * MIN_DIR_RATIO)
             out[d * 6] = 1;
+}
+
+// layout of the SMEM batch returned by rt_smems_pivots
+struct SmemsOut {
+    i64 n;
+    i32 *rid, *m, *nn;
+    i64 *k, *l, *s;
+};
+
+// Batched smems_one_pos over a pivot list: the exact-oracle fallback for
+// pivots whose candidate count overflows the device kernel cap (and for
+// any host-side re-enumeration).  enc_blob/enc_off: per-read nt4 codes.
+// Free the result with rt_free.
+SmemsOut *rt_smems_pivots(const FmiC *fmi, const u8 *enc_blob,
+                          const i64 *enc_off, i64 n_pivots,
+                          const i32 *prid, const i32 *px,
+                          const i64 *min_intv, i32 min_seed_len) {
+    std::vector<SmemTuple> out;
+    for (i64 i = 0; i < n_pivots; ++i) {
+        i32 r = prid[i];
+        const u8 *enc = enc_blob + enc_off[r];
+        i64 len = enc_off[r + 1] - enc_off[r];
+        smems_one_pos(*fmi, enc, len, r, px[i], min_intv[i], min_seed_len,
+                      out);
+    }
+    i64 n = (i64)out.size();
+    size_t bytes = sizeof(SmemsOut) + n * (4 * 3 + 8 * 3) + 64;
+    char *blk = (char *)malloc(bytes);
+    SmemsOut *so = (SmemsOut *)blk;
+    char *cur = blk + sizeof(SmemsOut);
+    auto take = [&](size_t sz) { char *p = cur; cur += sz; return p; };
+    so->n = n;
+    so->rid = (i32 *)take(n * 4);
+    so->m = (i32 *)take(n * 4);
+    so->nn = (i32 *)take(n * 4);
+    so->k = (i64 *)take(n * 8);
+    so->l = (i64 *)take(n * 8);
+    so->s = (i64 *)take(n * 8);
+    for (i64 i = 0; i < n; ++i) {
+        so->rid[i] = out[i].rid;
+        so->m[i] = out[i].m;
+        so->nn[i] = out[i].n;
+        so->k[i] = out[i].k;
+        so->l[i] = out[i].l;
+        so->s[i] = out[i].s;
+    }
+    return so;
 }
 
 // layout of the rescue-problem batch returned by rt_rescue_pre_batch

@@ -140,7 +140,7 @@ class DeviceBackend:
                      __import__("time").perf_counter() - t0)
             if pivots_r1:
                 with PROF("seeding.round1b"):
-                    self._round2(encj, lens, pivots_r1, opt, per_read, encs)
+                    self._round2(encj, lens, pivots_r1, opt, per_read, encs, prof_tag="r1")
         else:
             cnt, n1, b1, s1, k1 = [a[:NR] for a in jax.device_get(r1)]
             overflow_reads = np.nonzero(cnt > ROUND1_CAP)[0]
@@ -195,7 +195,10 @@ class DeviceBackend:
             per_read[rid].sort(key=lambda t: (t[1] << 32) | t[2])
         return per_read
 
-    def _round2(self, encj, lens, pivots, opt, per_read, encs):
+    def _round2(self, encj, lens, pivots, opt, per_read, encs,
+                prof_tag=""):
+        import time as _time
+        _t0 = _time.perf_counter()
         NP = len(pivots)
         P = bucket_pow2(NP + 1, 64)  # slot P-1 stays a dead pad pivot
         L = encj.shape[1]
@@ -217,17 +220,23 @@ class DeviceBackend:
         # ck/cs stay device-resident (int64 grids): the backward pass
         # gathers its lane inputs from them on device
         cn, ncand = jax.device_get((cn, ncand))
+        PROF.add(f"seeding.r2{prof_tag}.fwd", _time.perf_counter() - _t0)
+        _t0 = _time.perf_counter()
 
-        # overflowed pivots fall back to the host oracle
+        # overflowed pivots fall back to the exact native oracle
+        # (rt_smems_pivots, one batched call for the whole chunk)
         overflow = ncand > ROUND2_MAX_CAND
         if overflow[:NP].any():
-            from ..align.seeding import smems_one_pos
-            for i in np.nonzero(overflow[:NP])[0]:
-                rid, x, mi = pivots[i]
-                out = []
-                smems_one_pos(self.fm, encs[rid].astype(np.uint8),
-                              rid, x, mi, opt.min_seed_len, out)
-                per_read[rid].extend(out)
+            from ..native import hostrt
+            which = np.nonzero(overflow[:NP])[0]
+            out = hostrt.smems_pivots(
+                self.fm, encs, rids[which], xs[which], mis[which],
+                opt.min_seed_len)
+            for t in out:
+                per_read[t[0]].append(t)
+        PROF.add(f"seeding.r2{prof_tag}.oracle",
+                 _time.perf_counter() - _t0)
+        _t0 = _time.perf_counter()
 
         # flatten candidate lanes for the backward pass (vectorized)
         nc_ok = np.where(overflow[:NP], 0, ncand[:NP])
@@ -248,6 +257,8 @@ class DeviceBackend:
             self.dfm, encj, ridp_j, xp_j,
             ck_dev, cs_dev, jnp.asarray(piv_idx), jnp.asarray(slot_idx),
             mi_j))
+        PROF.add(f"seeding.r2{prof_tag}.bwd", _time.perf_counter() - _t0)
+        _t0 = _time.perf_counter()
         steps = steps[:nl]
         fk = fk[:nl]
         fs = fs[:nl]
@@ -275,6 +286,7 @@ class DeviceBackend:
             per_read[int(rids[i])].append(
                 (int(rids[i]), int(m_abs[j]), int(n_abs[j]), int(fk[j]), 0,
                  int(fs[j])))
+        PROF.add(f"seeding.r2{prof_tag}.emit", _time.perf_counter() - _t0)
 
     # ------------------------------------------------------------------
     # batched mate-rescue SW (kswv analog)

@@ -79,3 +79,32 @@ def test_alt_contigs_native():
     opt = MemOptions().finalize()
     out = run(fm_alt, opt)
     assert out[True] == out[False]
+
+
+def test_native_smems_pivots_matches_oracle(fm):
+    # rt_smems_pivots == align.seeding.smems_one_pos across pivots,
+    # min_intv values, N bases, and read boundaries
+    import numpy as np
+    from bwamem2_tpu.native import hostrt
+    from bwamem2_tpu.align.seeding import smems_one_pos
+    rng = np.random.default_rng(3)
+    encs = []
+    for i in range(40):
+        p = int(rng.integers(0, fm.l_pac - 120))
+        e = fm.ref_string[p:p + 120].astype(np.uint8).copy()
+        mut = rng.integers(0, 120, 3)
+        e[mut] = rng.integers(0, 5, 3)
+        encs.append(e)
+    prid, px, mi = [], [], []
+    for r in range(40):
+        for x in (0, 13, 60, 100, 119):
+            for m in (1, 2, 11):
+                prid.append(r)
+                px.append(x)
+                mi.append(m)
+    got = hostrt.smems_pivots(fm, encs, np.array(prid), np.array(px),
+                              np.array(mi), 19)
+    want = []
+    for r, x, m in zip(prid, px, mi):
+        smems_one_pos(fm, encs[r], r, x, m, 19, want)
+    assert sorted(got) == sorted(tuple(int(v) for v in t) for t in want)
