@@ -271,13 +271,33 @@ class DeviceBSW:
             # maxima would recompile nearly every chunk.  The T rungs cost
             # at most ~1.45x extra DP rows vs a tight tile — far cheaper
             # than the compiles they avoid.
-            qmax = int(qls[dev_idx].max())
-            tmax = int(tls[dev_idx].max())
-            Q = 127 if qmax <= 127 else 255 if qmax <= 255 else 383
-            for T in (96, 160, 224, 320, 448, TCAP):
-                if tmax <= T:
-                    break
-            buckets = [((Q, T), dev_idx.tolist())]
+            # class split by target length (sortPairsLenExt analog,
+            # bwamem.cpp:1926-2023): the DP row loop runs T iterations for
+            # every lane in the tile, so one batch-max tile makes ALL pairs
+            # pay the longest pair's rows.  Pairs are split across the rungs
+            # of the fixed ladder; tiny classes merge upward so no dispatch
+            # runs nearly empty.
+            ladder = (96, 160, 224, 320, 448, TCAP)
+            rung = np.searchsorted(ladder, tls[dev_idx])
+            groups: dict[int, list] = {}
+            for r in range(len(ladder)):
+                sel = dev_idx[rung == r]
+                if len(sel):
+                    groups[r] = sel.tolist()
+            rs = sorted(groups)
+            merged: dict[int, list] = {}
+            acc: list = []
+            for r in rs:
+                acc += groups[r]
+                if len(acc) >= 256 or r == rs[-1]:
+                    merged[r] = acc
+                    acc = []
+            if acc:  # tail smaller than 256: fold into the largest class
+                merged[rs[-1]] = merged.get(rs[-1], []) + acc
+            for r, idxs in merged.items():
+                qmax = int(qls[idxs].max())
+                Q = 127 if qmax <= 127 else 255 if qmax <= 255 else 383
+                buckets.append(((Q, ladder[r]), idxs))
         for (Q, T), idxs in buckets:
             P = bucket_pow2(len(idxs), 128)
             if use_desc:

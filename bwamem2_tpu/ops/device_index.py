@@ -41,7 +41,7 @@ class DeviceFMIndex:
     #                       for the single-char hot path; built only for
     #                       genomes < OCC1_MAX_PAC bp (doubles table memory)
     counts: jax.Array     # int64[5]
-    sa_ms: jax.Array      # int32[(n>>3)+1] (sign-extended from int8)
+    sa_ms: jax.Array      # int8[(n>>3)+1] (sign-extends at use)
     sa_ls: jax.Array      # uint32[(n>>3)+1]
     sentinel: jax.Array   # int64 scalar
     ref: jax.Array        # uint8[2*l_pac]
@@ -80,7 +80,7 @@ class DeviceFMIndex:
             occ4=put(occ4),
             occ1=put(occ1),
             counts=put(fm.counts.astype(np.int64)),
-            sa_ms=put(fm.sa_ms_byte.astype(np.int32)),
+            sa_ms=put(fm.sa_ms_byte.astype(np.int8)),
             sa_ls=put(fm.sa_ls_word.astype(np.uint32)),
             sentinel=put(jnp.int64(fm.sentinel_index)),
             ref=put(fm.ref_string),
