@@ -79,8 +79,22 @@ def merge_chunks(out, paths: list[str], header: str | None = None) -> int:
 
 
 def init_distributed() -> tuple[int, int]:
-    """jax.distributed bring-up for real pods; returns (process_id, n)."""
+    """jax.distributed bring-up; returns (process_id, n_processes).
+
+    Pod environments (TPU slices, SLURM) auto-detect via
+    jax.distributed.initialize().  For manual/multi-node-over-TCP runs set
+    JAX_COORDINATOR_ADDRESS=host:port, JAX_NUM_PROCESSES and
+    JAX_PROCESS_ID on every process — the smoke test
+    (tests/test_distributed.py) drives two local processes this way."""
     import jax
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        n = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        if n is not None and pid is not None:
+            jax.distributed.initialize(coordinator_address=addr,
+                                       num_processes=int(n),
+                                       process_id=int(pid))
+        else:
+            jax.distributed.initialize()
     return jax.process_index(), jax.process_count()
