@@ -154,6 +154,40 @@ def main():
     with open(os.path.join(DATA, "reads_mixed.fq"), "w") as f:
         f.write("".join(mixed))
 
+    # indel-heavy + repeat-adversarial SE set (always-on golden coverage)
+    rng_h = np.random.default_rng(90210)
+    g = "".join(contigs.values())[:60000]  # chrA
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+    hard = []
+
+    def emit(name, s):
+        if rng_h.random() < 0.5:
+            s = "".join(comp[c] for c in reversed(s))
+        q = "".join(chr(33 + int(x))
+                    for x in rng_h.integers(25, 40, len(s)))
+        hard.append(f"@{name}\n{s}\n+\n{q}\n")
+
+    for i in range(150):   # 2-8bp indel events
+        p = int(rng_h.integers(0, len(g) - 200))
+        s = list(g[p:p + 170])
+        for _ in range(int(rng_h.integers(1, 3))):
+            q = int(rng_h.integers(10, 150))
+            ln = int(rng_h.integers(2, 9))
+            if rng_h.random() < 0.5:
+                del s[q:q + ln]
+            else:
+                s[q:q] = rng_h.choice(BASES, ln).tolist()
+        s = "".join(s)[:150].replace("N", "A")
+        for j in rng_h.integers(0, len(s), 2):
+            s = s[:j] + str(rng_h.choice(BASES)) + s[j + 1:]
+        emit(f"indel_{i}", s)
+    for i in range(100):   # inside the triplicated 800bp block
+        b = [10000, 30000, 45000][int(rng_h.integers(0, 3))]
+        p = b + int(rng_h.integers(0, 700))
+        emit(f"rep_{i}", g[p:p + 101])
+    with open(os.path.join(DATA, "reads_hard.fq"), "w") as f:
+        f.write("".join(hard))
+
     # tiny genome for oracle unit tests
     tiny = "".join(rng.choice(BASES, size=3000).tolist())
     tiny = tiny[:1200] + "NNNNNNNN" + tiny[1200:]
@@ -180,6 +214,10 @@ def main():
             subprocess.run(
                 [REF_BIN, "mem", pref, os.path.join(DATA, "reads_r1.fq"),
                  os.path.join(DATA, "reads_r2.fq")],
+                check=True, stdout=out, stderr=subprocess.DEVNULL, env=env)
+        with open(os.path.join(FIX, "golden_se_hard.sam"), "w") as out:
+            subprocess.run(
+                [REF_BIN, "mem", pref, os.path.join(DATA, "reads_hard.fq")],
                 check=True, stdout=out, stderr=subprocess.DEVNULL, env=env)
         with open(os.path.join(FIX, "golden_mixed_p.sam"), "w") as out:
             subprocess.run(

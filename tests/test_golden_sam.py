@@ -60,3 +60,14 @@ def test_smart_pairing_mixed_stream(fm):
     ours = "".join(r.sam for r in reads).splitlines(keepends=True)
     golden = golden_lines("golden_mixed_p.sam")
     assert ours == golden
+
+
+def test_indel_and_repeat_adversarial_golden(fm):
+    # indel-heavy (2-8bp events) + repeat-block reads at default flags
+    opt = MemOptions().finalize()
+    reads = read_chunk(FastxReader(os.path.join(DATA, "reads_hard.fq")),
+                       None, 10**9)
+    Aligner(fm, opt, verbose=0).process(reads, 0)
+    ours = "".join(r.sam for r in reads).splitlines(keepends=True)
+    golden = golden_lines("golden_se_hard.sam")
+    assert ours == golden
