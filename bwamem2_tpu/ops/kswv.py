@@ -76,6 +76,21 @@ def kswv_u8_kernel(ref, enc, qoff, qdir, qcomp, qlen, toff, tdir, tlen,
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
 
+    # Precision tiering: cell values are u8-range (<= 255 + shift) and the
+    # F-scan offsets add at most (Qmax-1)*e_ins plus the segmented-cummax
+    # stripe offset, so the (P, Q) grids fit int16 whenever a power-of-two
+    # stripe spacing H16 with 15*H16 + H16-1 < 32768 exists — int16 element
+    # ops run ~9x int32 on the VPU (see ops/bsw.py).  Static check; the
+    # int32 fallback keeps exotic scoring configs correct.
+    rng_val = 255 + shift + (Qmax - 1) * e_ins + oe_ins
+    H16 = 1024
+    while H16 <= rng_val:
+        H16 <<= 1
+    use16 = H16 <= 2048
+    DT = jnp.int16 if use16 else I32
+    HUGEv = jnp.asarray(H16 if use16 else int(HUGE), DT)
+    NEGv = jnp.asarray(-8192 if use16 else int(NEGBIG), DT)
+
     enc_flat = enc.reshape(-1).astype(I32)
     cols = jnp.arange(Qmax, dtype=I32)[None, :]             # (1, Qmax)
     qpos = qoff[:, None] + qdir[:, None] * cols
@@ -86,10 +101,14 @@ def kswv_u8_kernel(ref, enc, qoff, qdir, qcomp, qlen, toff, tdir, tlen,
     qpad = slen << 4
     valid = cols < qpad[:, None]                             # striped cols
     sid = jnp.where(valid, cols // jnp.maximum(slen, 1)[:, None], 0)
+    qcN = qc.astype(DT)
+    colsE = (cols * e_ins).astype(DT)                        # (1, Qmax)
+    colsE1 = ((cols - 1) * e_ins).astype(DT)
+    sidH = (sid.astype(DT) * HUGEv)
 
-    H = jnp.zeros((P, Qmax), I32)
-    E = jnp.zeros((P, Qmax), I32)
-    Hmax = jnp.zeros((P, Qmax), I32)
+    H = jnp.zeros((P, Qmax), DT)
+    E = jnp.zeros((P, Qmax), DT)
+    Hmax = jnp.zeros((P, Qmax), DT)
     rowmax = jnp.zeros((P, Tmax), I32)
     gmax = jnp.zeros((P,), I32)
     te = jnp.full((P,), -1, I32)
@@ -100,35 +119,40 @@ def kswv_u8_kernel(ref, enc, qoff, qdir, qcomp, qlen, toff, tdir, tlen,
         H, E, Hmax, rowmax, gmax, te, rowstop, alive = st
         act = alive & (i < tlen)
         tpos = toff + tdir.astype(jnp.int64) * i
-        ti = ref[jnp.clip(tpos, 0, ref.shape[0] - 1)].astype(I32)
+        ti = ref[jnp.clip(tpos, 0, ref.shape[0] - 1)].astype(DT)
         # match score vs profile (pad cols score 0, ambig/N scores -1)
-        s = jnp.where(qc == 5, 0,
-                      jnp.where((ti[:, None] >= 4) | (qc >= 4), -1,
-                                jnp.where(ti[:, None] == qc, mat_a,
-                                          -mat_b)))
-        Hs = jnp.concatenate([jnp.zeros((P, 1), I32), H[:, :-1]], axis=1)
+        s = jnp.where(qcN == 5, jnp.asarray(0, DT),
+                      jnp.where((ti[:, None] >= 4) | (qcN >= 4),
+                                jnp.asarray(-1, DT),
+                                jnp.where(ti[:, None] == qcN,
+                                          jnp.asarray(mat_a, DT),
+                                          jnp.asarray(-mat_b, DT))))
+        Hs = jnp.concatenate([jnp.zeros((P, 1), DT), H[:, :-1]], axis=1)
         # M = subsu8(addsu8(h, mat+shift), shift)
-        M = jnp.maximum(jnp.minimum(Hs + s + shift, 255) - shift, 0)
+        M = jnp.maximum(jnp.minimum(Hs + s + shift, 255) - shift, 0) \
+            .astype(DT)
         base = jnp.maximum(M, E)
         # pre-fixup cell: intra-stripe F only (segmented prefix max)
-        u = jnp.where(valid, base - oe_ins + cols * e_ins + sid * HUGE,
-                      NEGBIG)
+        u = jnp.where(valid, base - oe_ins + colsE + sidH, NEGv).astype(DT)
         useg = jax.lax.cummax(u, axis=1)
-        useg = jnp.concatenate([jnp.full((P, 1), NEGBIG, I32),
+        useg = jnp.concatenate([jnp.full((P, 1), NEGv, DT),
                                 useg[:, :-1]], axis=1)
-        fpre = useg - sid * HUGE - (cols - 1) * e_ins
-        hpre = jnp.where(valid, jnp.maximum(base, fpre), 0)
-        imax = jnp.max(jnp.where(valid, hpre, 0), axis=1)
+        fpre = useg - sidH - colsE1
+        hpre = jnp.where(valid, jnp.maximum(base, fpre),
+                         jnp.asarray(0, DT))
+        imax = jnp.max(jnp.where(valid, hpre, jnp.asarray(0, DT)),
+                       axis=1).astype(I32)
         # post-fixup cell: true F (plain prefix max)
-        ug = jnp.where(valid, base - oe_ins + cols * e_ins, NEGBIG)
+        ug = jnp.where(valid, base - oe_ins + colsE, NEGv).astype(DT)
         ugm = jax.lax.cummax(ug, axis=1)
-        ugm = jnp.concatenate([jnp.full((P, 1), NEGBIG, I32),
+        ugm = jnp.concatenate([jnp.full((P, 1), NEGv, DT),
                                ugm[:, :-1]], axis=1)
-        hfin = jnp.where(valid, jnp.maximum(base, ugm - (cols - 1) * e_ins),
-                         0)
+        hfin = jnp.where(valid, jnp.maximum(base, ugm - colsE1),
+                         jnp.asarray(0, DT))
         Enew = jnp.where(valid,
                          jnp.maximum(jnp.maximum(E - e_del, 0),
-                                     jnp.maximum(hpre - oe_del, 0)), 0)
+                                     jnp.maximum(hpre - oe_del, 0)),
+                         jnp.asarray(0, DT)).astype(DT)
         wr = act[:, None]
         H = jnp.where(wr, hfin, H)
         E = jnp.where(wr, Enew, E)
@@ -150,7 +174,7 @@ def kswv_u8_kernel(ref, enc, qoff, qdir, qcomp, qlen, toff, tdir, tlen,
     saturated = (gmax + shift >= 255) & do_lane
     score = jnp.where(saturated, 255, gmax)
     # qe: min query position among Hmax == max (incl. pad columns)
-    hm = jnp.where(valid, Hmax, -1)
+    hm = jnp.where(valid, Hmax.astype(I32), -1)
     mx = jnp.max(hm, axis=1)
     qe = jnp.min(jnp.where(hm == mx[:, None], cols, Qmax + 1), axis=1)
     qe = jnp.where(do_lane & (te >= 0), qe, -1)
