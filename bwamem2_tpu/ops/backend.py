@@ -133,6 +133,7 @@ class DeviceBackend:
             px = px[:NR]
             overflow_reads = np.nonzero(npiv > ROUND1_PIVOT_CAP)[0]
             oflow = set(overflow_reads.tolist())
+            PROF.count("overflow.r1_pivot_cap", len(overflow_reads), NR)
             pivots_r1 = [(rid, int(px[rid, j]), 1)
                          for rid in range(NR) if rid not in oflow
                          for j in range(int(npiv[rid]))]
@@ -226,6 +227,8 @@ class DeviceBackend:
         # overflowed pivots fall back to the exact native oracle
         # (rt_smems_pivots, one batched call for the whole chunk)
         overflow = ncand > ROUND2_MAX_CAND
+        PROF.count(f"overflow.cand{prof_tag}", int(overflow[:NP].sum()),
+                   NP)
         if overflow[:NP].any():
             from ..native import hostrt
             which = np.nonzero(overflow[:NP])[0]

@@ -401,6 +401,8 @@ class DeviceBSW:
             np.int32, n)
         fits = (qls <= QCAP) & (tls <= TCAP)
         host_idx = np.nonzero(~fits)[0].tolist()
+        from ..utils.profiling import PROF
+        PROF.count("overflow.bsw_host_tail", len(host_idx), n)
         dev_idx = np.nonzero(fits)[0]
         use_desc = self.encj is not None and all(
             p.qdir != 0 for p in pending)

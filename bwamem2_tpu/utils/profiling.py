@@ -20,6 +20,8 @@ class Prof:
     def __init__(self):
         self.t = defaultdict(float)
         self.n = defaultdict(int)
+        self.c = defaultdict(int)
+        self.ctot = defaultdict(int)
         self.enabled = True
         self._trace_dir = os.environ.get("BWAMEM2_TPU_TRACE")
         self._tracing = False
@@ -36,6 +38,12 @@ class Prof:
     def add(self, name: str, dt: float) -> None:
         self.t[name] += dt
         self.n[name] += 1
+
+    def count(self, name: str, n: int = 1, total: int = 0) -> None:
+        """Event counters (capacity overflows, fallback takes...): printed
+        as counts + rate, the macro.h:45-52 sizing-evidence analog."""
+        self.c[name] += n
+        self.ctot[name] += total
 
     def start_trace(self):
         if self._trace_dir and not self._tracing:
@@ -71,6 +79,11 @@ class Prof:
                           f"  x{self.n[k]}\n")
         total = sum(self.t.values())
         out.write(f"[prof]   {'(sum of phases)':<{width}}  {total:9.3f}s\n")
+        for k in sorted(self.c):
+            tot = self.ctot[k]
+            rate = f" ({100.0 * self.c[k] / tot:.2f}% of {tot})" if tot \
+                else ""
+            out.write(f"[prof]   {k:<{width}}  {self.c[k]:9d}{rate}\n")
         if total_reads:
             out.write(f"[prof]   reads: {total_reads}  "
                       f"({total_reads / max(total, 1e-9):.0f} reads/s over "
