@@ -132,6 +132,11 @@ def _lib():
             POINTER(FmiC), np.ctypeslib.ndpointer(np.uint8,
                                                   flags="C_CONTIGUOUS"),
             _pi64, c_int64, _pi32, _pi32, _pi64, c_int32]
+        lib.rt_collect_smems_reads.restype = POINTER(SmemsOutC)
+        lib.rt_collect_smems_reads.argtypes = [
+            POINTER(FmiC), np.ctypeslib.ndpointer(np.uint8,
+                                                  flags="C_CONTIGUOUS"),
+            _pi64, c_int64, _pi32, c_int32, c_int32, c_int64, c_int64]
         lib.rt_free.restype = None
         lib.rt_free.argtypes = [c_void_p]
         _proto_done = True
@@ -153,6 +158,47 @@ def fmi_view(fm) -> FmiC:
         v = (c, cc, oh, cn)   # keep the buffers referenced
         fm._fmi_view = v
     return v[0]
+
+
+def _smems_out_to_tuples(lib, sop):
+    so = sop.contents
+    n = so.n
+    if n == 0:
+        lib.rt_free(sop)
+        return []
+    arr = lambda p: np.ctypeslib.as_array(p, shape=(n,))
+    rid = arr(so.rid).astype(np.int64)
+    m = arr(so.m).astype(np.int64)
+    nn = arr(so.nn).astype(np.int64)
+    k = arr(so.k).copy()
+    ll = arr(so.l).copy()
+    s = arr(so.s).copy()
+    out = [(int(rid[i]), int(m[i]), int(nn[i]), int(k[i]), int(ll[i]),
+            int(s[i])) for i in range(n)]
+    lib.rt_free(sop)
+    return out
+
+
+def collect_smems_reads(fm, encs, opt) -> list[list[tuple]]:
+    """Full 3-round SMEM collection for whole reads in C++ — the
+    ultra-long-read path and whole-read fallback (same output as
+    align.seeding.collect_smems, parity-tested)."""
+    lib = _lib()
+    fc = fmi_view(fm)
+    blob = np.ascontiguousarray(np.concatenate(encs), np.uint8) \
+        if encs else np.zeros(0, np.uint8)
+    off = _offsets([len(e) for e in encs])
+    rids = np.arange(len(encs), dtype=np.int32)
+    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+    sop = lib.rt_collect_smems_reads(
+        ctypes.byref(fc), blob, off.ctypes.data_as(_pi64), len(encs),
+        rids.ctypes.data_as(_pi32), opt.min_seed_len, split_len,
+        int(opt.split_width), int(opt.max_mem_intv))
+    tuples = _smems_out_to_tuples(lib, sop)
+    per_read: list[list[tuple]] = [[] for _ in encs]
+    for t in tuples:
+        per_read[t[0]].append(t)
+    return per_read
 
 
 def smems_pivots(fm, encs, prid, px, min_intv, min_seed_len: int):

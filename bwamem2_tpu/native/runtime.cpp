@@ -1633,6 +1633,103 @@ struct SmemsOut {
     i64 *k, *l, *s;
 };
 
+// Full 3-round SMEM collection for whole reads (mem_collect_smem,
+// bwamem.cpp:626-803): round-1 pivot chain, round-2 re-seeding of long
+// low-occurrence SMEMs, round-3 forward-only seeds, then the per-read
+// (m, n) sort.  This is the ultra-long-read path (reads beyond the device
+// kernels' int16 coordinate range) and the whole-read fallback.
+// Free the result with rt_free.
+SmemsOut *rt_collect_smems_reads(const FmiC *fmi, const u8 *enc_blob,
+                                 const i64 *enc_off, i64 n_reads,
+                                 const i32 *rids, i32 min_seed_len,
+                                 i32 split_len, i64 split_width,
+                                 i64 max_mem_intv) {
+    std::vector<SmemTuple> out;
+    for (i64 i = 0; i < n_reads; ++i) {
+        const u8 *enc = enc_blob + enc_off[i];
+        i64 len = enc_off[i + 1] - enc_off[i];
+        i32 rid = rids[i];
+        size_t base = out.size();
+        // round 1: all positions, min_intv = 1 (smems_all_pos)
+        i64 x = 0;
+        while (x < len)
+            x = smems_one_pos(*fmi, enc, len, rid, x, 1, min_seed_len, out);
+        // round 2: re-seed long low-occ SMEMs from their midpoint
+        size_t n1 = out.size();
+        for (size_t j = base; j < n1; ++j) {
+            SmemTuple t = out[j];   // by value: smems_one_pos reallocs out
+            if ((i64)(t.n + 1 - t.m) < split_len || t.s > split_width)
+                continue;
+            smems_one_pos(*fmi, enc, len, rid, (t.n + 1 + t.m) >> 1,
+                          t.s + 1, min_seed_len, out);
+        }
+        // round 3: forward-only seeds capped by max_mem_intv
+        // (seed_strategy_all_pos; bwtSeedStrategyAllPosOneThread)
+        if (max_mem_intv > 0) {
+            i32 msl1 = min_seed_len + 1;
+            i64 x3 = 0;
+            while (x3 < len) {
+                i64 next_x = x3 + 1;
+                i32 a = enc[x3];
+                if (a < 4) {
+                    i64 k = fmi->counts[a];
+                    i64 l = fmi->counts[3 - a];
+                    i64 s = fmi->counts[a + 1] - fmi->counts[a];
+                    i64 m = x3;
+                    bool broke = false;
+                    for (i64 j = x3 + 1; j < len; ++j) {
+                        next_x = j + 1;
+                        i32 aj = enc[j];
+                        if (aj >= 4) { broke = true; break; }
+                        i64 nk, nl, ns;
+                        fmi_backward_ext(*fmi, l, k, s, 3 - aj,
+                                         &nk, &nl, &ns);
+                        std::swap(nk, nl);
+                        k = nk; l = nl; s = ns;
+                        if (s < max_mem_intv && (j - m + 1) >= msl1) {
+                            if (s > 0)
+                                out.push_back({rid, (i32)m, (i32)j,
+                                               k, l, s});
+                            broke = true;
+                            break;
+                        }
+                    }
+                    if (!broke) next_x = len;
+                }
+                x3 = next_x;
+            }
+        }
+        // per-read (m, n) sort (sortSMEMs + mem_intv1 introsort; ties are
+        // full-tuple duplicates, so stable order matches the spec)
+        std::stable_sort(out.begin() + base, out.end(),
+                         [](const SmemTuple &a, const SmemTuple &b) {
+            return a.m != b.m ? a.m < b.m : a.n < b.n;
+        });
+    }
+    i64 n = (i64)out.size();
+    size_t bytes = sizeof(SmemsOut) + n * (4 * 3 + 8 * 3) + 64;
+    char *blk = (char *)malloc(bytes);
+    SmemsOut *so = (SmemsOut *)blk;
+    char *cur = blk + sizeof(SmemsOut);
+    auto take = [&](size_t sz) { char *p = cur; cur += sz; return p; };
+    so->n = n;
+    so->rid = (i32 *)take(n * 4);
+    so->m = (i32 *)take(n * 4);
+    so->nn = (i32 *)take(n * 4);
+    so->k = (i64 *)take(n * 8);
+    so->l = (i64 *)take(n * 8);
+    so->s = (i64 *)take(n * 8);
+    for (i64 i = 0; i < n; ++i) {
+        so->rid[i] = out[i].rid;
+        so->m[i] = out[i].m;
+        so->nn[i] = out[i].n;
+        so->k[i] = out[i].k;
+        so->l[i] = out[i].l;
+        so->s[i] = out[i].s;
+    }
+    return so;
+}
+
 // Batched smems_one_pos over a pivot list: the exact-oracle fallback for
 // pivots whose candidate count overflows the device kernel cap (and for
 // any host-side re-enumeration).  enc_blob/enc_off: per-read nt4 codes.

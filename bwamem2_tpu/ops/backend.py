@@ -88,8 +88,8 @@ class DeviceBackend:
             # grid from a previous chunk would silently corrupt output).
             if self._bsw is not None:
                 self._bsw.encj = None
-            from ..align.seeding import collect_smems as host_collect
-            return host_collect(self.fm, encs, opt)
+            from ..native.hostrt import collect_smems_reads
+            return collect_smems_reads(self.fm, encs, opt)
         enc, lens = _pad_reads(encs)
         N, L = enc.shape
         NR = len(encs)
@@ -182,11 +182,11 @@ class DeviceBackend:
                                           0, int(s3[rid, j])))
             PROF.add("seeding.round3", __import__("time").perf_counter() - t0)
 
-        # ---- overflowed reads: exact host-oracle fallback (rare) ----
+        # ---- overflowed reads: exact native-oracle fallback (rare) ----
         if len(overflow_reads):
-            from ..align.seeding import collect_smems as host_collect
-            sub = host_collect(self.fm, [encs[r] for r in overflow_reads],
-                               opt)
+            from ..native.hostrt import collect_smems_reads
+            sub = collect_smems_reads(
+                self.fm, [encs[r] for r in overflow_reads], opt)
             for r, out in zip(overflow_reads.tolist(), sub):
                 per_read[r] = [(r,) + t[1:] for t in out]
             # already sorted by host_collect; skip the re-sort below

@@ -108,3 +108,25 @@ def test_native_smems_pivots_matches_oracle(fm):
     for r, x, m in zip(prid, px, mi):
         smems_one_pos(fm, encs[r], r, x, m, 19, want)
     assert sorted(got) == sorted(tuple(int(v) for v in t) for t in want)
+
+
+def test_native_collect_smems_reads_matches_oracle(fm):
+    # rt_collect_smems_reads (3 rounds + sort) == align.seeding spec,
+    # including an ultra-long 40kb read (the host-path case)
+    import numpy as np
+    from bwamem2_tpu.native import hostrt
+    from bwamem2_tpu.align.seeding import collect_smems
+    rng = np.random.default_rng(11)
+    encs = []
+    for ln in (101, 150, 1000, 40000, 75):
+        p = int(rng.integers(0, fm.l_pac - ln))
+        e = fm.ref_string[p:p + ln].astype(np.uint8).copy()
+        mut = rng.integers(0, ln, max(ln // 100, 2))
+        e[mut] = rng.integers(0, 5, len(mut))
+        encs.append(e)
+    opt = MemOptions().finalize()
+    got = hostrt.collect_smems_reads(fm, encs, opt)
+    want = collect_smems(fm, encs, opt)
+    for g, w in zip(got, want):
+        assert [tuple(int(v) for v in t) for t in g] \
+            == [tuple(int(v) for v in t) for t in w]
