@@ -50,11 +50,13 @@ def bsw_kernel(q, t, qlen, tlen, h0, w_in, mat_a, mat_b,
                    o_ins, e_ins, zdrop, end_bonus, max_sc)
 
 
-@partial(jax.jit, static_argnums=(10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20))
+@partial(jax.jit,
+         static_argnums=(10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21))
 def bsw_desc_kernel(ref, enc, qoff, qdir, qlen, toff, tdir, tlen, h0, w_in,
                     Qmax: int, Tmax: int, mat_a: int, mat_b: int,
                     o_del: int, e_del: int, o_ins: int, e_ins: int,
-                    zdrop: int, end_bonus: int, max_sc: int):
+                    zdrop: int, end_bonus: int, max_sc: int,
+                    ref_packed: bool = False):
     """Banded SW extension from DESCRIPTORS: sequences are gathered on
     device from the resident doubled-genome `ref` (uint8[2*l_pac], absolute
     toff/tdir walk) and the padded read grid `enc` (int8[N, L]; qoff is the
@@ -68,10 +70,10 @@ def bsw_desc_kernel(ref, enc, qoff, qdir, qlen, toff, tdir, tlen, h0, w_in,
     qpos = qoff[:, None] + qdir[:, None] * jidx
     q = jnp.where(jidx < qlen[:, None],
                   enc_flat[jnp.clip(qpos, 0, N * L - 1)], 4)
+    from .device_index import take_ref
     iidx = jnp.arange(Tmax, dtype=jnp.int64)[None, :]
     tpos = toff[:, None] + tdir[:, None].astype(jnp.int64) * iidx
-    t = jnp.where(iidx < tlen[:, None],
-                  ref[jnp.clip(tpos, 0, ref.shape[0] - 1)].astype(I32), 4)
+    t = jnp.where(iidx < tlen[:, None], take_ref(ref, tpos, ref_packed), 4)
     return _bsw_dp(q, t, qlen, tlen, h0, w_in, mat_a, mat_b, o_del, e_del,
                    o_ins, e_ins, zdrop, end_bonus, max_sc)
 
@@ -473,7 +475,8 @@ class DeviceBSW:
                     jnp.asarray(tdir), jnp.asarray(tlen), jnp.asarray(h0),
                     jnp.full((P,), w, np.int32), Q, T,
                     opt.a, opt.b, opt.o_del, opt.e_del, opt.o_ins,
-                    opt.e_ins, opt.zdrop, end_bonus, self.max_sc)
+                    opt.e_ins, opt.zdrop, end_bonus, self.max_sc,
+                    self.dfm.ref_packed)
                 out[np.array(idxs)] = np.asarray(res)[: len(idxs)]
                 continue
             q = np.full((P, Q), 4, np.int8)

@@ -44,19 +44,25 @@ class DeviceFMIndex:
     sa_ms: jax.Array      # int8[(n>>3)+1] (sign-extends at use)
     sa_ls: jax.Array      # uint32[(n>>3)+1]
     sentinel: jax.Array   # int64 scalar
-    ref: jax.Array        # uint8[2*l_pac]
+    ref: jax.Array        # uint8[2*l_pac], or 2-bit packed (ref_packed)
     lut_k: jax.Array      # int64[4^K] K-mer interval starts (or size-1 dummy)
     lut_s: jax.Array      # int64[4^K] K-mer interval sizes
+    ref_packed: bool = False   # static: 4 chars/byte (human-scale HBM)
 
     OCC1_MAX_PAC = 1 << 30
+    # pack the doubled genome 4 chars/byte above this (2*l_pac): at human
+    # scale the u8 ref alone is 6.2GB; packed it is 1.55GB and the whole
+    # index fits a 16GB v5e with room for working sets
+    REF_PACK_MIN = 1 << 31
 
     def tree_flatten(self):
         return ((self.occ4, self.occ1, self.counts, self.sa_ms, self.sa_ls,
-                 self.sentinel, self.ref, self.lut_k, self.lut_s), None)
+                 self.sentinel, self.ref, self.lut_k, self.lut_s),
+                self.ref_packed)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, ref_packed=aux)
 
     @classmethod
     def from_host(cls, fm: FMIndex, device=None,
@@ -76,6 +82,15 @@ class DeviceFMIndex:
         put = partial(jax.device_put, device=device)
         lut_k = lut[0] if lut else np.zeros(1, np.int64)
         lut_s = lut[1] if lut else np.zeros(1, np.int64)
+        ref = np.ascontiguousarray(fm.ref_string, np.uint8)
+        ref_packed = ref.shape[0] >= cls.REF_PACK_MIN
+        if ref_packed:
+            pad = (-ref.shape[0]) % 4
+            if pad:
+                ref = np.concatenate([ref, np.zeros(pad, np.uint8)])
+            r = ref.reshape(-1, 4)
+            ref = (r[:, 0] | (r[:, 1] << 2) | (r[:, 2] << 4)
+                   | (r[:, 3] << 6)).astype(np.uint8)
         return cls(
             occ4=put(occ4),
             occ1=put(occ1),
@@ -83,9 +98,10 @@ class DeviceFMIndex:
             sa_ms=put(fm.sa_ms_byte.astype(np.int8)),
             sa_ls=put(fm.sa_ls_word.astype(np.uint32)),
             sentinel=put(jnp.int64(fm.sentinel_index)),
-            ref=put(fm.ref_string),
+            ref=put(ref),
             lut_k=put(lut_k.astype(np.int64)),
             lut_s=put(lut_s.astype(np.int64)),
+            ref_packed=ref_packed,
         )
 
 
@@ -243,3 +259,16 @@ def bwt_char_occ(dfm: DeviceFMIndex, pos):
 def bwt_char(dfm: DeviceFMIndex, pos):
     """BWT char at pos from the one-hot halves (4 = sentinel)."""
     return bwt_char_occ(dfm, pos)[0]
+
+
+def take_ref(ref, pos, packed: bool):
+    """Doubled-genome char at pos (int32 in [0,4)); `packed` is static.
+
+    Out-of-range positions are clipped (unpacked) or wrap within the last
+    byte (packed) — callers mask those lanes, only in-range values are
+    consumed."""
+    if not packed:
+        return ref[jnp.clip(pos, 0, ref.shape[0] - 1)].astype(jnp.int32)
+    b = ref[jnp.clip((pos >> 2).astype(jnp.int64), 0,
+                     ref.shape[0] - 1)].astype(jnp.int32)
+    return (b >> ((pos.astype(jnp.int32) & 3) * 2)) & 3

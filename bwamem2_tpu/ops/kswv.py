@@ -54,11 +54,13 @@ NEGBIG = jnp.int32(-(1 << 24))
 HUGE = jnp.int32(1 << 22)
 
 
-@partial(jax.jit, static_argnums=(11, 12, 13, 14, 15, 16, 17, 18, 19))
+@partial(jax.jit,
+         static_argnums=(11, 12, 13, 14, 15, 16, 17, 18, 19, 20))
 def kswv_u8_kernel(ref, enc, qoff, qdir, qcomp, qlen, toff, tdir, tlen,
                    endsc, do_lane,
                    Qmax: int, Tmax: int, minsc: int, mat_a: int, mat_b: int,
-                   o_del: int, e_del: int, o_ins: int, e_ins: int):
+                   o_del: int, e_del: int, o_ins: int, e_ins: int,
+                   ref_packed: bool = False):
     """One phase of batched striped-u8 local SW from descriptors.
 
     qoff int32[P]: flattened read-grid index of the first query char;
@@ -118,8 +120,9 @@ def kswv_u8_kernel(ref, enc, qoff, qdir, qcomp, qlen, toff, tdir, tlen,
     def row_body(i, st):
         H, E, Hmax, rowmax, gmax, te, rowstop, alive = st
         act = alive & (i < tlen)
+        from .device_index import take_ref
         tpos = toff + tdir.astype(jnp.int64) * i
-        ti = ref[jnp.clip(tpos, 0, ref.shape[0] - 1)].astype(DT)
+        ti = take_ref(ref, tpos, ref_packed).astype(DT)
         # match score vs profile (pad cols score 0, ambig/N scores -1)
         s = jnp.where(qcN == 5, jnp.asarray(0, DT),
                       jnp.where((ti[:, None] >= 4) | (qcN >= 4),
@@ -280,7 +283,8 @@ class DeviceKswv:
                 self.dfm.ref, encj, qoff, qdir, qcomp, qlen, toff,
                 ones, tlen, ones * (1 << 16), doj,
                 Qmax, Tmax, self.minsc, opt.a, opt.b,
-                opt.o_del, opt.e_del, opt.o_ins, opt.e_ins)
+                opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+                self.dfm.ref_packed)
             # phase 1: reversed prefixes, stop at the phase-0 score
             score = r0[:, 0]
             te = r0[:, 1]
@@ -295,7 +299,8 @@ class DeviceKswv:
                 jnp.where(want, te + 1, 0),
                 score, want,
                 Qmax, Tmax, 1 << 16, opt.a, opt.b,
-                opt.o_del, opt.e_del, opt.o_ins, opt.e_ins)
+                opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+                self.dfm.ref_packed)
             r0h, r1h = jax.device_get((r0, r1))
             nb = len(dev)
             res = np.zeros((nb, 7), np.int32)

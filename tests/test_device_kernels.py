@@ -264,3 +264,27 @@ def test_long_read_chunk_after_short_chunk(fm, backend):
     Aligner(fm, opt, backend=None, verbose=0).process([r_host], 0)
     assert r_dev.sam == r_host.sam
     assert r_dev.sam.split("\t")[5] != "*"  # it actually aligned
+
+
+def test_packed_ref_bit_identical(fm):
+    """2-bit-packed device ref (the human-scale HBM layout) == unpacked."""
+    from bwamem2_tpu.options import MEM_F_PE
+    from bwamem2_tpu.ops.device_index import DeviceFMIndex
+    from bwamem2_tpu.ops.backend import DeviceBackend
+    opt = MemOptions()
+    opt.flag |= MEM_F_PE
+    opt = opt.finalize()
+    reads = read_chunk(FastxReader(os.path.join(DATA, "reads_r1.fq")),
+                       FastxReader(os.path.join(DATA, "reads_r2.fq")), 10**9)
+    saved = DeviceFMIndex.REF_PACK_MIN
+    DeviceFMIndex.REF_PACK_MIN = 0
+    try:
+        be = DeviceBackend(fm, opt)
+        assert be.dfm.ref_packed
+        Aligner(fm, opt, backend=be, verbose=0).process(reads, 0)
+    finally:
+        DeviceFMIndex.REF_PACK_MIN = saved
+    with open(os.path.join(FIXTURES, "golden_pe.sam")) as f:
+        golden = [l for l in f if not l.startswith("@")]
+    ours = "".join(r.sam for r in reads).splitlines(keepends=True)
+    assert ours == golden
