@@ -379,3 +379,40 @@ def filter_chained_seeds(fm: FMIndex, opt, l_query: int, query: np.ndarray,
                 s.score = s.len * opt.a if s.score < 0 else s.score
                 kept.append(s)
         c.seeds = kept
+
+
+def chain_and_filter_flat(fm: FMIndex, opt, encs, smem_off, smem_m,
+                          smem_n, smem_s, occ_off, coords: np.ndarray):
+    """mem_chain_seeds + mem_chain_flt with FLAT survivor arrays out — the
+    input to the native extension stage (no Chain/Seed objects).
+
+    Returns (chain_off, chain_rid, chain_alt, chain_frac, chain_nseeds,
+    soff, seed_rbeg, seed_qbeg, seed_len) where chain_off is per-read over
+    the surviving chains in final (sorted) order."""
+    from ..native import chain_filter_batch
+    (chain_off, chain_pos, chain_rid, chain_alt, chain_frac, chain_nseeds,
+     seed_rbeg, seed_qbeg, seed_len) = _chain_seeds_arrays(
+        fm, opt, encs, smem_off, smem_m, smem_n, smem_s, occ_off, coords)
+    out_off, out_idx, out_w, out_kept = chain_filter_batch(
+        chain_off, chain_alt, chain_nseeds, seed_rbeg, seed_qbeg,
+        seed_len, opt)
+    soff_all = np.zeros(len(chain_nseeds) + 1, np.int64)
+    np.cumsum(chain_nseeds, out=soff_all[1:])
+    n_out = int(out_off[-1])
+    idx = out_idx[:n_out]
+    ns = chain_nseeds[idx]
+    soff = np.zeros(n_out + 1, np.int64)
+    np.cumsum(ns, out=soff[1:])
+    # gather the survivor chains' seed slices
+    take = np.concatenate(
+        [np.arange(soff_all[ci], soff_all[ci] + chain_nseeds[ci])
+         for ci in idx]) if n_out else np.zeros(0, np.int64)
+    return (np.ascontiguousarray(out_off, np.int64),
+            np.ascontiguousarray(chain_rid[idx], np.int32),
+            np.ascontiguousarray(chain_alt[idx], np.uint8),
+            np.ascontiguousarray(chain_frac[idx], np.float32),
+            np.ascontiguousarray(ns, np.int32),
+            soff,
+            np.ascontiguousarray(seed_rbeg[take], np.int64),
+            np.ascontiguousarray(seed_qbeg[take], np.int32),
+            np.ascontiguousarray(seed_len[take], np.int32))

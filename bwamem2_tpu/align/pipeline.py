@@ -38,6 +38,21 @@ class Aligner:
         self.native_rt = native_rt
 
     # ---- phase 1: seeds -> chains ----
+    def _flat_ext_ok(self, encs, opt) -> bool:
+        """True when the all-native extension path applies: device read
+        grid present and mem_flt_chained_seeds provably a no-op for every
+        read (its engage condition is monotonic in read length)."""
+        import math
+        bsw = getattr(self.backend, "_bsw", None)
+        if bsw is None or bsw.encj is None:
+            return False
+        lmax = max((len(e) for e in encs), default=0)
+        if lmax == 0:
+            return False
+        min_l = (1.1 * opt.min_chain_weight if opt.min_chain_weight
+                 else 5.5 * math.log(lmax))
+        return min_l > 0.05 * lmax
+
     def kernel1(self, encs, opt):
         fm = self.fm
         if self.backend is not None:
@@ -47,6 +62,12 @@ class Aligner:
             (allpos, smem_off, smem_m, smem_n, smem_s,
              occ_off) = chain_mod.sa_positions_batch(opt, smems_per_read)
             coords = self.backend.sa_lookup(allpos)
+            if self.native_rt and self._flat_ext_ok(encs, opt):
+                # flat survivor arrays straight into the native extension
+                with PROF("chaining"):
+                    return ("flat", chain_mod.chain_and_filter_flat(
+                        fm, opt, encs, smem_off, smem_m, smem_n, smem_s,
+                        occ_off, coords))
             with PROF("chaining"):
                 chains_per_read = chain_mod.chain_and_filter_batch_native(
                     fm, opt, encs, smem_off, smem_m, smem_n, smem_s,
@@ -70,6 +91,22 @@ class Aligner:
     # ---- phase 2: chains -> alignment regions ----
     def kernel2(self, reads, encs, chains_per_read, opt):
         fm = self.fm
+        if isinstance(chains_per_read, tuple) \
+                and chains_per_read[0] == "flat":
+            # all-native extension: gather/acceptance/purge in C++, device
+            # scoring between rounds (hostrt.extension_batch)
+            from ..native import hostrt
+            bsw = self.backend._bsw
+
+            def score_fn(side, d, w, end_bonus):
+                return bsw.run_arrays(d, w, opt, end_bonus)
+
+            with PROF("extension.bsw"):
+                fr = hostrt.extension_batch(fm, opt, reads,
+                                            chains_per_read[1], score_fn)
+            with PROF("dedup_patch"):
+                hostrt.dedup_patch_batch(fm, opt, reads, fr)
+            return fr
         kw = {}
         if self.backend is not None:
             kw = dict(left_kernel=self.backend.left_bsw_kernel,

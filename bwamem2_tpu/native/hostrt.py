@@ -137,10 +137,103 @@ def _lib():
             POINTER(FmiC), np.ctypeslib.ndpointer(np.uint8,
                                                   flags="C_CONTIGUOUS"),
             _pi64, c_int64, _pi32, c_int32, c_int32, c_int64, c_int64]
+        lib.rt_ext_begin.restype = c_void_p
+        lib.rt_ext_begin.argtypes = [
+            POINTER(BnsC), POINTER(MemOptC), POINTER(ReadsC),
+            _pi64, _pi32, _pu8, _pf32, _pi32, _pi64, _pi64, _pi32, _pi32,
+            c_int32, c_int32]
+        lib.rt_ext_pending.restype = c_int64
+        lib.rt_ext_pending.argtypes = [
+            c_void_p, c_int32, _pi64, _pi32, _pi32, _pi64, _pi32, _pi32,
+            _pi32, _pi32]
+        lib.rt_ext_apply.restype = c_int64
+        lib.rt_ext_apply.argtypes = [c_void_p, c_int32, _pi32]
+        lib.rt_ext_nregs.restype = c_int64
+        lib.rt_ext_nregs.argtypes = [c_void_p]
+        lib.rt_ext_finish.restype = None
+        lib.rt_ext_finish.argtypes = [c_void_p, POINTER(RegsC)]
+        lib.rt_ext_free.restype = None
+        lib.rt_ext_free.argtypes = [c_void_p]
         lib.rt_free.restype = None
         lib.rt_free.argtypes = [c_void_p]
         _proto_done = True
     return lib
+
+
+def extension_batch(fm, opt, reads, chains_flat, score_fn) -> FlatRegs:
+    """mem_chain2aln_across_reads_V2 with the gather/acceptance/purge in
+    C++ and the banded-SW scoring via `score_fn(side, desc_dict, w,
+    end_bonus) -> int32[n, 6]` (the device kernel); over-cap pairs run the
+    scalar kernel inside rt_ext_apply.  Returns the chunk's FlatRegs
+    (pre-dedup, qe > qb survivors only)."""
+    (chain_off, chain_rid, chain_alt, chain_frac, chain_nseeds, soff,
+     seed_rbeg, seed_qbeg, seed_len) = chains_flat
+    from ..ops.bsw import MAX_BAND_TRY_DEV, QCAP, TCAP
+    lib = _lib()
+    bv = bns_view(fm)
+    oc = make_opt_c(opt)
+    rv = ReadsView(reads)
+    ca = lambda a, dt: np.ascontiguousarray(a, dt)
+    chain_off = ca(chain_off, np.int64)
+    chain_rid = ca(chain_rid, np.int32)
+    chain_alt = ca(chain_alt, np.uint8)
+    chain_frac = ca(chain_frac, np.float32)
+    chain_nseeds = ca(chain_nseeds, np.int32)
+    soff = ca(soff, np.int64)
+    seed_rbeg = ca(seed_rbeg, np.int64)
+    seed_qbeg = ca(seed_qbeg, np.int32)
+    seed_len = ca(seed_len, np.int32)
+    h = lib.rt_ext_begin(
+        ctypes.byref(bv.c), ctypes.byref(oc), ctypes.byref(rv.c),
+        chain_off.ctypes.data_as(_pi64), chain_rid.ctypes.data_as(_pi32),
+        chain_alt.ctypes.data_as(_pu8),
+        chain_frac.ctypes.data_as(_pf32),
+        chain_nseeds.ctypes.data_as(_pi32), soff.ctypes.data_as(_pi64),
+        seed_rbeg.ctypes.data_as(_pi64), seed_qbeg.ctypes.data_as(_pi32),
+        seed_len.ctypes.data_as(_pi32), QCAP, TCAP)
+    try:
+        for side in (0, 1):
+            end_bonus = opt.pen_clip5 if side == 0 else opt.pen_clip3
+            for rnd in range(MAX_BAND_TRY_DEV):
+                n = lib.rt_ext_pending(h, side, None, None, None, None,
+                                       None, None, None, None)
+                scores = np.zeros((0, 6), np.int32)
+                if n:
+                    d = dict(qoff=np.zeros(n, np.int64),
+                             qdir=np.zeros(n, np.int32),
+                             qlen=np.zeros(n, np.int32),
+                             toff=np.zeros(n, np.int64),
+                             tdir=np.zeros(n, np.int32),
+                             tlen=np.zeros(n, np.int32),
+                             h0=np.zeros(n, np.int32),
+                             seqid=np.zeros(n, np.int32))
+                    lib.rt_ext_pending(
+                        h, side, d["qoff"].ctypes.data_as(_pi64),
+                        d["qdir"].ctypes.data_as(_pi32),
+                        d["qlen"].ctypes.data_as(_pi32),
+                        d["toff"].ctypes.data_as(_pi64),
+                        d["tdir"].ctypes.data_as(_pi32),
+                        d["tlen"].ctypes.data_as(_pi32),
+                        d["h0"].ctypes.data_as(_pi32),
+                        d["seqid"].ctypes.data_as(_pi32))
+                    scores = np.ascontiguousarray(
+                        score_fn(side, d, opt.w << rnd, end_bonus),
+                        np.int32)
+                rem = lib.rt_ext_apply(h, side,
+                                       scores.ctypes.data_as(_pi32))
+                if rem == 0:
+                    break
+        n_regs = lib.rt_ext_nregs(h)
+        fr = FlatRegs(len(reads), int(n_regs))
+        rc = fr.c_struct()
+        lib.rt_ext_finish(h, ctypes.byref(rc))
+        n_used = int(fr.off[-1])
+        # trim the over-allocation (purged/sentinel regions dropped)
+        for f in ("rb", "re") + _I32_FIELDS + ("frac_rep",):
+            setattr(fr, f, getattr(fr, f)[:n_used])
+        return fr
+    finally:
+        lib.rt_ext_free(h)
 
 
 def fmi_view(fm) -> FmiC:

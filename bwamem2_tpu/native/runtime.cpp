@@ -1969,3 +1969,499 @@ char *rt_sam_pe_batch(const BnsC *bns, const MemOptC *opt,
 }
 
 } // extern "C"
+
+// ---------------------------------------------------------------------------
+// Extension stage: mem_chain2aln_across_reads_V2 (align/extend.py spec;
+// bwamem.cpp:2069-2994) as a handle-based state machine.  The caller drives
+// the band-doubling rounds: rt_ext_pending exposes the in-cap pairs of the
+// current round as device-kernel descriptors, the device scores come back
+// through rt_ext_apply (over-cap pairs are scored right here with the
+// scalar bsw_extend), and rt_ext_finish runs the seed-contained purge and
+// writes the surviving regions into the chunk's flat SoA.
+// ---------------------------------------------------------------------------
+
+extern "C" int bsw_extend(int qlen, const uint8_t *query, int tlen,
+                          const uint8_t *target, int m, const int8_t *mat,
+                          int o_del, int e_del, int o_ins, int e_ins, int w,
+                          int end_bonus, int zdrop, int h0, int *qle,
+                          int *tle, int *gtle, int *gscore, int *max_off);
+
+namespace {
+
+constexpr i32 MAX_BAND_TRY = 2;
+constexpr i32 H0_NULL = -99;     // "not yet extended" sentinel (macro.h:44)
+
+struct ExtPair {        // SeqPair analog (bandedSWA.h:90-99)
+    i64 qoff, toff;     // descriptor walk starts (absolute; qoff read-local)
+    i32 qdir, tdir, qlen, tlen, h0, regid, seqid;
+};
+
+struct ExtReg {         // AlnReg under construction
+    i64 rb, re;
+    i32 qb, qe, rid, score, truesc, w, seedcov, seedlen0;
+    i32 chain;          // owning chain (for seedcov + purge)
+    float frac_rep;
+};
+
+struct ExtState {
+    const BnsC *bns;
+    const MemOptC *opt;
+    const ReadsC *reads;
+    // flat chain/seed views (surviving, post-filter order)
+    const i64 *chain_off;
+    const i32 *chain_rid;
+    const u8 *chain_alt;
+    const float *chain_frac;
+    const i32 *chain_nseeds;
+    const i64 *soff;
+    const i64 *seed_rbeg;
+    const i32 *seed_qbeg;
+    const i32 *seed_len;
+    i32 qcap, tcap;
+    std::vector<ExtReg> regs;
+    std::vector<i32> reg_read;        // owning read of each reg
+    std::vector<i64> srt;             // per-chain seed order (flat, soff-indexed)
+    std::vector<i32> seed_aln;        // seed -> regid
+    std::vector<ExtPair> pairs[2];    // 0 = left, 1 = right
+    std::vector<i64> pending[2];
+    std::vector<i64> pend_dev;        // in-cap subset of current round
+    i32 round[2] = {0, 0};
+    bool right_ready = false;
+    std::vector<u8> encs;             // nt4 codes, reads->seq_off layout
+};
+
+static i32 cal_max_gap(const MemOptC &o, i32 qlen) {
+    i32 l_del = (i32)((double)(qlen * o.a - o.o_del) / o.e_del + 1.0);
+    i32 l_ins = (i32)((double)(qlen * o.a - o.o_ins) / o.e_ins + 1.0);
+    i32 l = std::max(std::max(l_del, l_ins), 1);
+    return std::min(l, o.w << 1);
+}
+
+// seedcov: bases of chain seeds contained in [qb,qe) x [rb,re)
+static i32 ext_seedcov(const ExtState &st, i32 ci, const ExtReg &a) {
+    i32 cov = 0;
+    for (i64 s = st.soff[ci]; s < st.soff[ci + 1]; ++s)
+        if (st.seed_qbeg[s] >= a.qb
+                && st.seed_qbeg[s] + st.seed_len[s] <= a.qe
+                && st.seed_rbeg[s] >= a.rb
+                && st.seed_rbeg[s] + st.seed_len[s] <= a.re)
+            cov += st.seed_len[s];
+    return cov;
+}
+
+// score one over-cap pair with the scalar kernel (the reference's scalar
+// tail class), materializing the sequences from the read codes / ref
+static void ext_host_score(const ExtState &st, const ExtPair &p, i32 w,
+                           i32 end_bonus, i32 out[6]) {
+    const MemOptC &o = *st.opt;
+    std::vector<u8> q((size_t)p.qlen), t((size_t)p.tlen);
+    const u8 *enc = st.encs.data() + st.reads->seq_off[p.seqid];
+    for (i32 i = 0; i < p.qlen; ++i)
+        q[i] = enc[p.qoff + (i64)p.qdir * i];
+    for (i32 i = 0; i < p.tlen; ++i)
+        t[i] = st.bns->ref[p.toff + (i64)p.tdir * i];
+    int qle, tle, gtle, gscore, max_off;
+    int sc = bsw_extend(p.qlen, q.data(), p.tlen, t.data(), 5, o.mat,
+                        o.o_del, o.e_del, o.o_ins, o.e_ins, w, end_bonus,
+                        o.zdrop, p.h0, &qle, &tle, &gtle, &gscore,
+                        &max_off);
+    out[0] = sc; out[1] = qle; out[2] = tle; out[3] = gtle;
+    out[4] = gscore; out[5] = max_off;
+}
+
+} // namespace
+
+extern "C" {
+
+// Build the extension state: rmax spans, seed processing order, one AlnReg
+// per seed, and the left/right SeqPair descriptor lists
+// (bwamem.cpp:2144-2434).
+void *rt_ext_begin(const BnsC *bns, const MemOptC *opt, const ReadsC *reads,
+                   const i64 *chain_off, const i32 *chain_rid,
+                   const u8 *chain_alt, const float *chain_frac,
+                   const i32 *chain_nseeds, const i64 *soff,
+                   const i64 *seed_rbeg, const i32 *seed_qbeg,
+                   const i32 *seed_len, i32 qcap, i32 tcap) {
+    ExtState *st = new ExtState();
+    st->bns = bns;
+    st->opt = opt;
+    st->reads = reads;
+    st->chain_off = chain_off;
+    st->chain_rid = chain_rid;
+    st->chain_alt = chain_alt;
+    st->chain_frac = chain_frac;
+    st->chain_nseeds = chain_nseeds;
+    st->soff = soff;
+    st->seed_rbeg = seed_rbeg;
+    st->seed_qbeg = seed_qbeg;
+    st->seed_len = seed_len;
+    st->qcap = qcap;
+    st->tcap = tcap;
+    const MemOptC &o = *opt;
+    i64 l_pac = bns->l_pac;
+    i64 total_seeds = soff[chain_off[reads->n]];
+    st->srt.resize(total_seeds);
+    st->seed_aln.assign(total_seeds, -1);
+    st->encs.resize((size_t)reads->seq_off[reads->n]);
+    for (i64 r = 0; r < reads->n; ++r) {
+        std::vector<u8> tmp;
+        encode_read(reads->seq_blob + reads->seq_off[r],
+                    reads->seq_off[r + 1] - reads->seq_off[r], tmp);
+        memcpy(st->encs.data() + reads->seq_off[r], tmp.data(), tmp.size());
+    }
+    for (i64 r = 0; r < reads->n; ++r) {
+        i32 l_query = (i32)(reads->seq_off[r + 1] - reads->seq_off[r]);
+        for (i64 ci = chain_off[r]; ci < chain_off[r + 1]; ++ci) {
+            i64 s0 = soff[ci];
+            i64 ns = chain_nseeds[ci];
+            if (ns == 0) continue;
+            // rmax span (bwamem.cpp:2144-2177)
+            i64 rmax0 = l_pac << 1, rmax1 = 0;
+            for (i64 s = s0; s < s0 + ns; ++s) {
+                i64 b = seed_rbeg[s]
+                    - (seed_qbeg[s] + cal_max_gap(o, seed_qbeg[s]));
+                i64 e = seed_rbeg[s] + seed_len[s]
+                    + (l_query - seed_qbeg[s] - seed_len[s])
+                    + cal_max_gap(o, l_query - seed_qbeg[s] - seed_len[s]);
+                rmax0 = std::min(rmax0, b);
+                rmax1 = std::max(rmax1, e);
+            }
+            rmax0 = std::max(rmax0, (i64)0);
+            rmax1 = std::min(rmax1, l_pac << 1);
+            if (rmax0 < l_pac && l_pac < rmax1) {
+                if (seed_rbeg[s0] < l_pac) rmax1 = l_pac;
+                else rmax0 = l_pac;
+            }
+            i32 rid;
+            i64 rl;
+            fetch_seq(*bns, rmax0, seed_rbeg[s0], rmax1, &rid, &rmax0,
+                      &rmax1, &rl);
+            // seeds in (score<<32 | idx) ascending; process descending
+            i64 *srt = st->srt.data() + s0;
+            for (i64 j = 0; j < ns; ++j) srt[j] = j;
+            std::sort(srt, srt + ns, [&](i64 x, i64 y) {
+                u64 kx = ((u64)(uint32_t)seed_len[s0 + x] << 32) | (u64)x;
+                u64 ky = ((u64)(uint32_t)seed_len[s0 + y] << 32) | (u64)y;
+                return kx < ky;   // seed score == len here
+            });
+            for (i64 kk = ns - 1; kk >= 0; --kk) {
+                i64 s = s0 + srt[kk];
+                ExtReg a;
+                a.rb = H0_NULL; a.re = H0_NULL;
+                a.qb = H0_NULL; a.qe = H0_NULL;
+                a.rid = chain_rid[ci];
+                a.score = -1; a.truesc = -1;
+                a.w = o.w;
+                a.seedcov = 0;
+                a.seedlen0 = seed_len[s];
+                a.chain = (i32)ci;
+                a.frac_rep = chain_frac[ci];
+                i32 regid = (i32)st->regs.size();
+                st->seed_aln[s] = regid;
+                if (seed_qbeg[s]) {       // left extension
+                    i64 tmp = seed_rbeg[s] - rmax0;
+                    ExtPair p;
+                    p.qoff = seed_qbeg[s] - 1;
+                    p.qdir = -1;
+                    p.qlen = seed_qbeg[s];
+                    p.toff = seed_rbeg[s] - 1;
+                    p.tdir = -1;
+                    p.tlen = (i32)std::max(tmp, (i64)0);
+                    p.h0 = seed_len[s] * o.a;
+                    p.regid = regid;
+                    p.seqid = (i32)r;
+                    st->pairs[0].push_back(p);
+                    a.qb = seed_qbeg[s];
+                    a.rb = seed_rbeg[s];
+                } else {
+                    a.score = a.truesc = seed_len[s] * o.a;
+                    a.qb = 0;
+                    a.rb = seed_rbeg[s];
+                }
+                if (seed_qbeg[s] + seed_len[s] != l_query) {  // right
+                    i64 qe = seed_qbeg[s] + seed_len[s];
+                    i64 re = seed_rbeg[s] + seed_len[s] - rmax0;
+                    ExtPair p;
+                    p.qoff = qe;
+                    p.qdir = 1;
+                    p.qlen = (i32)(l_query - qe);
+                    p.toff = seed_rbeg[s] + seed_len[s];
+                    p.tdir = 1;
+                    p.tlen = (i32)((rmax1 - rmax0) - re);
+                    p.h0 = H0_NULL;     // filled from the left result
+                    p.regid = regid;
+                    p.seqid = (i32)r;
+                    st->pairs[1].push_back(p);
+                    a.qe = (i32)qe;
+                    a.re = rmax0 + re;
+                } else {
+                    a.qe = l_query;
+                    a.re = seed_rbeg[s] + seed_len[s];
+                    if (a.rb != H0_NULL && a.qb != H0_NULL) {
+                        st->regs.push_back(a);
+                        st->reg_read.push_back((i32)r);
+                        st->regs.back().seedcov =
+                            ext_seedcov(*st, (i32)ci, st->regs.back());
+                        continue;
+                    }
+                }
+                st->regs.push_back(a);
+                st->reg_read.push_back((i32)r);
+            }
+        }
+    }
+    for (i32 side = 0; side < 2; ++side) {
+        st->pending[side].resize(st->pairs[side].size());
+        for (i64 i = 0; i < (i64)st->pairs[side].size(); ++i)
+            st->pending[side][i] = i;
+    }
+    return st;
+}
+
+// In-cap pending pairs of the current round for `side`; fills the
+// device-descriptor arrays (caller sized via the return of a first call
+// with null pointers).  qoff is read-local; the caller adds the read-grid
+// row base.
+i64 rt_ext_pending(void *h, i32 side, i64 *qoff, i32 *qdir, i32 *qlen,
+                   i64 *toff, i32 *tdir, i32 *tlen, i32 *h0,
+                   i32 *seqid) {
+    ExtState *st = (ExtState *)h;
+    if (side == 1 && !st->right_ready) {
+        // right pairs read their alnreg's left score as h0
+        // (bwamem.cpp:2641-2658 analog; extend.py:271-272)
+        for (ExtPair &p : st->pairs[1])
+            p.h0 = st->regs[p.regid].score;
+        st->right_ready = true;
+    }
+    st->pend_dev.clear();
+    for (i64 i : st->pending[side]) {
+        const ExtPair &p = st->pairs[side][i];
+        if (p.qlen <= st->qcap && p.tlen <= st->tcap)
+            st->pend_dev.push_back(i);
+    }
+    if (qoff) {
+        for (i64 j = 0; j < (i64)st->pend_dev.size(); ++j) {
+            const ExtPair &p = st->pairs[side][st->pend_dev[j]];
+            qoff[j] = p.qoff;
+            qdir[j] = p.qdir;
+            qlen[j] = p.qlen;
+            toff[j] = p.toff;
+            tdir[j] = p.tdir;
+            tlen[j] = p.tlen;
+            h0[j] = p.h0;
+            seqid[j] = p.seqid;
+        }
+    }
+    return (i64)st->pend_dev.size();
+}
+
+// Apply one round: device scores for the in-cap subset (scores6, in
+// rt_ext_pending order), scalar scores for the over-cap tail computed
+// here; acceptance rule of bwamem.cpp:2472-2526 / 2688-2742.  Returns the
+// number of pairs still pending (band-doubled retry).
+i64 rt_ext_apply(void *h, i32 side, const i32 *scores6) {
+    ExtState *st = (ExtState *)h;
+    const MemOptC &o = *st->opt;
+    i32 i_round = st->round[side];
+    i32 w = o.w << i_round;
+    i32 end_bonus = side == 0 ? o.pen_clip5 : o.pen_clip3;
+    // index of each device-scored pair in scores6
+    std::vector<i64> dev_pos(st->pairs[side].size(), -1);
+    for (i64 j = 0; j < (i64)st->pend_dev.size(); ++j)
+        dev_pos[st->pend_dev[j]] = j;
+    std::vector<i64> nxt;
+    for (i64 i : st->pending[side]) {
+        const ExtPair &sp = st->pairs[side][i];
+        i32 sc[6];
+        if (dev_pos[i] >= 0) memcpy(sc, scores6 + dev_pos[i] * 6, 24);
+        else ext_host_score(*st, sp, w, end_bonus, sc);
+        ExtReg &a = st->regs[sp.regid];
+        i32 prev = a.score;
+        a.score = sc[0];
+        i32 max_off = sc[5];
+        if (a.score == prev || max_off < (w >> 1) + (w >> 2)
+                || i_round + 1 == MAX_BAND_TRY) {
+            i32 qle = sc[1], tle = sc[2], gtle = sc[3], gscore = sc[4];
+            if (side == 0) {
+                if (gscore <= 0 || gscore <= a.score - o.pen_clip5) {
+                    a.qb -= qle;
+                    a.rb -= tle;
+                    a.truesc = a.score;
+                } else {
+                    a.qb = 0;
+                    a.rb -= gtle;
+                    a.truesc = gscore;
+                }
+            } else {
+                i32 l_query = (i32)(st->reads->seq_off[sp.seqid + 1]
+                                    - st->reads->seq_off[sp.seqid]);
+                if (gscore <= 0 || gscore <= a.score - o.pen_clip3) {
+                    a.qe += qle;
+                    a.re += tle;
+                    a.truesc += a.score - sp.h0;
+                } else {
+                    a.qe = l_query;
+                    a.re += gtle;
+                    a.truesc += gscore - sp.h0;
+                }
+            }
+            a.w = std::max(a.w, w);
+            if (a.rb != H0_NULL && a.qb != H0_NULL && a.qe != H0_NULL
+                    && a.re != H0_NULL)
+                a.seedcov = ext_seedcov(*st, a.chain, a);
+        } else {
+            nxt.push_back(i);
+        }
+    }
+    st->pending[side] = nxt;
+    st->round[side] = i_round + 1;
+    return (i64)nxt.size();
+}
+
+i64 rt_ext_nregs(void *h) { return (i64)((ExtState *)h)->regs.size(); }
+
+// Seed-contained purge (bwamem.cpp:2895-2989) + write surviving regions
+// (qe > qb) into the chunk SoA.  R arrays must hold rt_ext_nregs entries;
+// off is n_reads+1.
+void rt_ext_finish(void *h, RegsC *R) {
+    ExtState *st = (ExtState *)h;
+    const MemOptC &o = *st->opt;
+    std::vector<i32> qb(st->regs.size()), qe(st->regs.size());
+    for (size_t i = 0; i < st->regs.size(); ++i) {
+        qb[i] = st->regs[i].qb;
+        qe[i] = st->regs[i].qe;
+    }
+    // per-read region windows (reg_read is nondecreasing)
+    std::vector<i64> read_lo(st->reads->n + 1, 0);
+    {
+        i64 p2 = 0;
+        for (i64 r = 0; r < st->reads->n; ++r) {
+            while (p2 < (i64)st->regs.size() && st->reg_read[p2] < r) ++p2;
+            read_lo[r] = p2;
+            while (p2 < (i64)st->regs.size() && st->reg_read[p2] == r) ++p2;
+        }
+        read_lo[st->reads->n] = (i64)st->regs.size();
+    }
+    for (i64 r = 0; r < st->reads->n; ++r) {
+        i32 l_query = (i32)(st->reads->seq_off[r + 1]
+                            - st->reads->seq_off[r]);
+        i64 lim = 0;
+        i64 reg_lo = read_lo[r];
+        i64 reg_hi = r + 1 < st->reads->n ? read_lo[r + 1]
+                                          : (i64)st->regs.size();
+        for (i64 ci = st->chain_off[r]; ci < st->chain_off[r + 1]; ++ci) {
+            i64 s0 = st->soff[ci];
+            i64 ns = st->chain_nseeds[ci];
+            if (ns == 0) continue;
+            std::vector<i64> srt(st->srt.begin() + s0,
+                                 st->srt.begin() + s0 + ns);
+            for (i64 kk = ns - 1; kk >= 0; --kk) {
+                if (srt[kk] < 0) continue;
+                i64 s = s0 + srt[kk];
+                i64 v = 0;
+                bool contained = false;
+                for (i64 pi = reg_lo; pi < reg_hi; ++pi) {
+                    if (v >= lim) break;
+                    const ExtReg &p = st->regs[pi];
+                    // live coordinates: purged entries skip without
+                    // advancing v, exactly like the python spec
+                    i32 pqb = qb[pi], pqe = qe[pi];
+                    if (pqb == -1 && pqe == -1) continue;
+                    if (st->seed_rbeg[s] < p.rb
+                            || st->seed_rbeg[s] + st->seed_len[s] > p.re
+                            || st->seed_qbeg[s] < pqb
+                            || st->seed_qbeg[s] + st->seed_len[s] > pqe) {
+                        ++v;
+                        continue;
+                    }
+                    if (st->seed_len[s] - st->regs[pi].seedlen0
+                            > 0.1 * l_query) {
+                        ++v;
+                        continue;
+                    }
+                    i32 qd = st->seed_qbeg[s] - pqb;
+                    i32 rd = (i32)(st->seed_rbeg[s] - p.rb);
+                    i32 max_gap = cal_max_gap(o, std::min(qd, rd));
+                    i32 ww = std::min(max_gap, st->regs[pi].w);
+                    if (qd - rd < ww && rd - qd < ww) { contained = true; break; }
+                    qd = pqe - (st->seed_qbeg[s] + st->seed_len[s]);
+                    rd = (i32)(p.re - (st->seed_rbeg[s] + st->seed_len[s]));
+                    max_gap = cal_max_gap(o, std::min(qd, rd));
+                    ww = std::min(max_gap, st->regs[pi].w);
+                    if (qd - rd < ww && rd - qd < ww) { contained = true; break; }
+                    ++v;
+                }
+                if (contained || v < lim) {
+                    // confirm no overlapping distinct seed would extend
+                    // differently (bwamem.cpp:2932-2960)
+                    bool ok_skip = true;
+                    for (i64 v2 = kk + 1; v2 < ns; ++v2) {
+                        if (srt[v2] < 0) continue;
+                        i64 t = s0 + srt[v2];
+                        if (st->seed_len[t] < st->seed_len[s] * 0.95)
+                            continue;
+                        if (st->seed_qbeg[s] <= st->seed_qbeg[t]
+                                && st->seed_qbeg[s] + st->seed_len[s]
+                                   - st->seed_qbeg[t] >= st->seed_len[s] >> 2
+                                && st->seed_qbeg[t] - st->seed_qbeg[s]
+                                   != st->seed_rbeg[t] - st->seed_rbeg[s]) {
+                            ok_skip = false;
+                            break;
+                        }
+                        if (st->seed_qbeg[t] <= st->seed_qbeg[s]
+                                && st->seed_qbeg[t] + st->seed_len[t]
+                                   - st->seed_qbeg[s] >= st->seed_len[s] >> 2
+                                && st->seed_qbeg[s] - st->seed_qbeg[t]
+                                   != st->seed_rbeg[s] - st->seed_rbeg[t]) {
+                            ok_skip = false;
+                            break;
+                        }
+                    }
+                    if (ok_skip) {
+                        i32 aln = st->seed_aln[s];
+                        qb[aln] = qe[aln] = -1;
+                        srt[kk] = -1;
+                        continue;
+                    }
+                }
+                ++lim;
+            }
+        }
+    }
+    // write survivors (qe > qb), read-major
+    i64 w = 0;
+    i64 pi = 0;
+    for (i64 r = 0; r < st->reads->n; ++r) {
+        R->off[r] = w;
+        for (; pi < (i64)st->regs.size() && st->reg_read[pi] == r; ++pi) {
+            const ExtReg &a = st->regs[pi];
+            i32 aqb = qb[pi], aqe = qe[pi];
+            if (aqe <= aqb) continue;
+            R->rb[w] = a.rb;
+            R->re[w] = a.re;
+            R->qb[w] = aqb;
+            R->qe[w] = aqe;
+            R->rid[w] = a.rid;
+            R->score[w] = a.score;
+            R->truesc[w] = a.truesc;
+            R->sub[w] = 0;
+            R->alt_sc[w] = 0;
+            R->csub[w] = 0;
+            R->sub_n[w] = 0;
+            R->w[w] = a.w;
+            R->seedcov[w] = a.seedcov;
+            R->secondary[w] = -1;
+            R->secondary_all[w] = -1;
+            R->seedlen0[w] = a.seedlen0;
+            R->n_comp[w] = 1;
+            R->is_alt[w] = 0;
+            R->frac_rep[w] = a.frac_rep;
+            ++w;
+        }
+    }
+    R->off[st->reads->n] = w;
+}
+
+void rt_ext_free(void *h) { delete (ExtState *)h; }
+
+} // extern "C"

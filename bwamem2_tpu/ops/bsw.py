@@ -365,6 +365,7 @@ def _bsw_rows_narrow(q, t, qlen, tlen, h0, w_in, H0, E0, cols, qcols,
 # hard caps: pairs beyond this go to the host kernel (the reference's
 # scalar tail class); actual tile dims are the batch maxima rounded up
 QCAP, TCAP = 256, 608
+MAX_BAND_TRY_DEV = 2   # band-doubling rounds (bwamem.cpp:51 MAX_BAND_TRY)
 
 
 class DeviceBSW:
@@ -511,3 +512,59 @@ class DeviceBSW:
 
     def right_kernel(self, pending, w, opt):
         return self._run(pending, w, opt, opt.pen_clip3)
+
+    def run_arrays(self, desc: dict, w: int, opt, end_bonus: int
+                   ) -> np.ndarray:
+        """Array-driven dispatch for the native extension stage
+        (hostrt.extension_batch): every pair is in-cap (qlen <= QCAP,
+        tlen <= TCAP), descriptors arrive as flat numpy arrays — no
+        per-pair Python objects.  qoff is read-local; the read-grid row
+        base is added here.  Same shape ladders / class split as _run."""
+        from . import bucket_pow2
+        encj = self.encj
+        L = encj.shape[1]
+        n = len(desc["qoff"])
+        out = np.zeros((n, 6), np.int32)
+        qls = desc["qlen"]
+        tls = desc["tlen"]
+        qoff_flat = desc["seqid"].astype(np.int64) * L + desc["qoff"]
+        ladder = (96, 160, 224, 320, 448, TCAP)
+        rung = np.searchsorted(ladder, tls)
+        order = np.argsort(rung, kind="stable")
+        bounds = np.searchsorted(rung[order], np.arange(len(ladder) + 1))
+        groups = []
+        acc: list = []
+        for r in range(len(ladder)):
+            sel = order[bounds[r]:bounds[r + 1]]
+            if len(sel) == 0:
+                continue
+            acc.append((r, sel))
+        merged = []
+        cur_idx: list = []
+        for i, (r, sel) in enumerate(acc):
+            cur_idx.append(sel)
+            if sum(len(x) for x in cur_idx) >= 256 or i == len(acc) - 1:
+                merged.append((r, np.concatenate(cur_idx)))
+                cur_idx = []
+        for r, idxs in merged:
+            T = ladder[r]
+            qmax = int(qls[idxs].max())
+            Q = 127 if qmax <= 127 else 255 if qmax <= 255 else 383
+            P = bucket_pow2(len(idxs), 128)
+
+            def pad(a, dt):
+                v = np.zeros((P,), dt)
+                v[: len(idxs)] = a[idxs]
+                return jnp.asarray(v)
+
+            res = bsw_desc_kernel(
+                self.dfm.ref, encj, pad(qoff_flat, np.int32),
+                pad(desc["qdir"], np.int32), pad(qls, np.int32),
+                pad(desc["toff"], np.int64), pad(desc["tdir"], np.int32),
+                pad(tls, np.int32), pad(desc["h0"], np.int32),
+                jnp.full((P,), w, np.int32), Q, T,
+                opt.a, opt.b, opt.o_del, opt.e_del, opt.o_ins,
+                opt.e_ins, opt.zdrop, end_bonus, self.max_sc,
+                self.dfm.ref_packed)
+            out[idxs] = np.asarray(res)[: len(idxs)]
+        return out
