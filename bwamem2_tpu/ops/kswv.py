@@ -285,12 +285,23 @@ class DeviceKswv:
                 Qmax, Tmax, self.minsc, opt.a, opt.b,
                 opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
                 self.dfm.ref_packed)
-            # phase 1: reversed prefixes, stop at the phase-0 score
+            # phase 1: reversed prefixes, stop at the phase-0 score.  Its
+            # row count is bounded by the phase-0 END positions (te+1),
+            # typically a fraction of the rescue window — size its tile
+            # from them (one host sync; far cheaper than running phase 1
+            # over the full window rows)
             score = r0[:, 0]
             te = r0[:, 1]
             qe = r0[:, 2]
             sat = r0[:, 5] > 0
             want = doj & ~sat & (score >= self.minsc) & (te >= 0) & (qe >= 0)
+            te_h, qe_h, want_h = jax.device_get((te, qe, want))
+            t1 = int(np.where(want_h, te_h + 1, 0).max(initial=1))
+            q1 = int(np.where(want_h, qe_h + 1, 0).max(initial=1))
+            Tmax1 = next(t for t in (128, 256, 512, 768, 1024, 1536, 2048)
+                         if t1 <= t) if t1 <= 2048 else round_up(t1, 256)
+            Qmax1 = next(q for q in (64, 128, 160, 256, 512)
+                         if q1 <= q) if q1 <= 512 else round_up(q1, 128)
             r1 = kswv_u8_kernel(
                 self.dfm.ref, encj,
                 qoff + qdir * qe, -qdir, qcomp,
@@ -298,7 +309,7 @@ class DeviceKswv:
                 toff + te.astype(jnp.int64), -ones,
                 jnp.where(want, te + 1, 0),
                 score, want,
-                Qmax, Tmax, 1 << 16, opt.a, opt.b,
+                Qmax1, Tmax1, 1 << 16, opt.a, opt.b,
                 opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
                 self.dfm.ref_packed)
             r0h, r1h = jax.device_get((r0, r1))
