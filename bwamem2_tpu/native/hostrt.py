@@ -154,6 +154,8 @@ def _lib():
         lib.rt_ext_finish.argtypes = [c_void_p, POINTER(RegsC)]
         lib.rt_ext_free.restype = None
         lib.rt_ext_free.argtypes = [c_void_p]
+        lib.rt_ext_max_band_try.restype = c_int32
+        lib.rt_ext_max_band_try.argtypes = []
         lib.rt_free.restype = None
         lib.rt_free.argtypes = [c_void_p]
         _proto_done = True
@@ -168,11 +170,11 @@ def extension_batch(fm, opt, reads, chains_flat, score_fn) -> FlatRegs:
     (pre-dedup, qe > qb survivors only)."""
     (chain_off, chain_rid, chain_alt, chain_frac, chain_nseeds, soff,
      seed_rbeg, seed_qbeg, seed_len) = chains_flat
-    from ..ops.bsw import MAX_BAND_TRY_DEV, QCAP, TCAP
+    from ..ops.bsw import QCAP, TCAP
     lib = _lib()
     bv = bns_view(fm)
     oc = make_opt_c(opt)
-    rv = ReadsView(reads)
+    rv = reads_view(reads)
     ca = lambda a, dt: np.ascontiguousarray(a, dt)
     chain_off = ca(chain_off, np.int64)
     chain_rid = ca(chain_rid, np.int32)
@@ -192,9 +194,11 @@ def extension_batch(fm, opt, reads, chains_flat, score_fn) -> FlatRegs:
         seed_rbeg.ctypes.data_as(_pi64), seed_qbeg.ctypes.data_as(_pi32),
         seed_len.ctypes.data_as(_pi32), QCAP, TCAP)
     try:
+        max_try = lib.rt_ext_max_band_try()
         for side in (0, 1):
             end_bonus = opt.pen_clip5 if side == 0 else opt.pen_clip3
-            for rnd in range(MAX_BAND_TRY_DEV):
+            rem = 0
+            for rnd in range(max_try):
                 n = lib.rt_ext_pending(h, side, None, None, None, None,
                                        None, None, None, None)
                 scores = np.zeros((0, 6), np.int32)
@@ -223,6 +227,9 @@ def extension_batch(fm, opt, reads, chains_flat, score_fn) -> FlatRegs:
                                        scores.ctypes.data_as(_pi32))
                 if rem == 0:
                     break
+            if rem:
+                raise RuntimeError("extension pairs left pending after "
+                                   "the final band-doubling round")
         n_regs = lib.rt_ext_nregs(h)
         fr = FlatRegs(len(reads), int(n_regs))
         rc = fr.c_struct()
@@ -388,6 +395,25 @@ def bns_view(fm) -> BnsView:
     return v
 
 
+_rv_tls = None
+
+
+def reads_view(reads) -> "ReadsView":
+    """Per-chunk ReadsView memo (thread-local, single slot): the blob
+    joins are O(chunk bytes) and the four chunk-batched entry points would
+    otherwise each rebuild byte-identical views."""
+    global _rv_tls
+    import threading
+    if _rv_tls is None:
+        _rv_tls = threading.local()
+    c = getattr(_rv_tls, "v", None)
+    if c is not None and c[0] is reads:
+        return c[1]
+    v = ReadsView(reads)
+    _rv_tls.v = (reads, v)
+    return v
+
+
 class ReadsView:
     def __init__(self, reads):
         names = [r.name.encode() for r in reads]
@@ -499,7 +525,7 @@ def dedup_patch_batch(fm, opt, reads, fr: FlatRegs) -> None:
     lib = _lib()
     bv = bns_view(fm)
     oc = make_opt_c(opt)
-    rv = ReadsView(reads)
+    rv = reads_view(reads)
     rc = fr.c_struct()
     lib.rt_dedup_patch_batch(ctypes.byref(bv.c), ctypes.byref(oc),
                              ctypes.byref(rv.c), ctypes.byref(rc))
@@ -545,7 +571,7 @@ def rescue_pre_batch(fm, opt, reads, fr: FlatRegs, pes6: np.ndarray,
     lib = _lib()
     bv = bns_view(fm)
     oc = make_opt_c(opt)
-    rv = ReadsView(reads)
+    rv = reads_view(reads)
     rc = fr.c_struct()
     rop = lib.rt_rescue_pre_batch(
         ctypes.byref(bv.c), ctypes.byref(oc), ctypes.byref(rv.c),
@@ -573,6 +599,25 @@ def rescue_pre_batch(fm, opt, reads, fr: FlatRegs, pes6: np.ndarray,
                 tlen=arr(ro.tlen, np.int32),
                 u8=arr(ro.u8c, np.uint8).astype(bool))
     lib.rt_free(rop)
+
+    # host-fallback sequence providers for non-u8-class / saturated lanes
+    # (DeviceKswv.align_batch consumes these; ops/kswv.py:330-347)
+    from ..index.io import NT4_TABLE
+
+    def enc_host(i, ql):
+        row = int(desc["qoff"][i]) // L
+        ms = NT4_TABLE[np.frombuffer(reads[row].seq.encode(), np.uint8)]
+        if desc["qdir"][i] < 0:
+            return np.array([3 - int(c) if c < 4 else 4 for c in ms[::-1]],
+                            np.uint8)
+        return np.ascontiguousarray(ms)
+
+    def ref_host(i, tl):
+        t0 = int(desc["toff"][i])
+        return np.ascontiguousarray(fm.ref_string[t0:t0 + tl])
+
+    desc["enc_host"] = enc_host
+    desc["ref_host"] = ref_host
     return desc, keys
 
 
@@ -583,7 +628,7 @@ def sam_pe_batch(fm, opt, reads, fr: FlatRegs, pes6: np.ndarray,
     lib = _lib()
     bv = bns_view(fm)
     oc = make_opt_c(opt)
-    rv = ReadsView(reads)
+    rv = reads_view(reads)
     rc = fr.c_struct()
     per_len = np.zeros(len(reads), np.int64)
     out_len = c_int64()
@@ -627,7 +672,7 @@ def finalize_se_batch(fm, opt, reads, fr: FlatRegs, n_processed: int,
     lib = _lib()
     bv = bns_view(fm)
     oc = make_opt_c(opt)
-    rv = ReadsView(reads)
+    rv = reads_view(reads)
     rc = fr.c_struct()
     per_len = np.zeros(len(reads), np.int64)
     out_len = c_int64()

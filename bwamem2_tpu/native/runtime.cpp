@@ -2464,4 +2464,7 @@ void rt_ext_finish(void *h, RegsC *R) {
 
 void rt_ext_free(void *h) { delete (ExtState *)h; }
 
+// the caller's round loop must match the forced-accept bound above
+i32 rt_ext_max_band_try() { return MAX_BAND_TRY; }
+
 } // extern "C"

@@ -37,26 +37,27 @@ I32 = jnp.int32
 NEG_BIG = jnp.int32(-(1 << 30))
 
 
-@partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13, 14))
+@partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13, 14, 15))
 def bsw_kernel(q, t, qlen, tlen, h0, w_in, mat_a, mat_b,
                o_del: int, e_del: int, o_ins: int, e_ins: int,
-               zdrop: int, end_bonus: int, max_sc: int):
+               zdrop: int, end_bonus: int, max_sc: int,
+               h0cap: int = 1 << 30):
     """Batched banded SW extension over materialized sequence tiles.
 
     q: int{8,32}[P, Qmax] query codes (lane-padded with 4), t: [P, Tmax],
     qlen/tlen/h0/w_in: int32[P].  mat_a/mat_b: match score / mismatch penalty
     (positive).  Returns int32[P, 6]: score qle tle gtle gscore max_off."""
     return _bsw_dp(q, t, qlen, tlen, h0, w_in, mat_a, mat_b, o_del, e_del,
-                   o_ins, e_ins, zdrop, end_bonus, max_sc)
+                   o_ins, e_ins, zdrop, end_bonus, max_sc, h0cap)
 
 
 @partial(jax.jit,
-         static_argnums=(10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21))
+         static_argnums=(10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22))
 def bsw_desc_kernel(ref, enc, qoff, qdir, qlen, toff, tdir, tlen, h0, w_in,
                     Qmax: int, Tmax: int, mat_a: int, mat_b: int,
                     o_del: int, e_del: int, o_ins: int, e_ins: int,
                     zdrop: int, end_bonus: int, max_sc: int,
-                    ref_packed: bool = False):
+                    ref_packed: bool = False, h0cap: int = 1 << 30):
     """Banded SW extension from DESCRIPTORS: sequences are gathered on
     device from the resident doubled-genome `ref` (uint8[2*l_pac], absolute
     toff/tdir walk) and the padded read grid `enc` (int8[N, L]; qoff is the
@@ -75,12 +76,13 @@ def bsw_desc_kernel(ref, enc, qoff, qdir, qlen, toff, tdir, tlen, h0, w_in,
     tpos = toff[:, None] + tdir[:, None].astype(jnp.int64) * iidx
     t = jnp.where(iidx < tlen[:, None], take_ref(ref, tpos, ref_packed), 4)
     return _bsw_dp(q, t, qlen, tlen, h0, w_in, mat_a, mat_b, o_del, e_del,
-                   o_ins, e_ins, zdrop, end_bonus, max_sc)
+                   o_ins, e_ins, zdrop, end_bonus, max_sc, h0cap)
 
 
 def _bsw_dp(q, t, qlen, tlen, h0, w_in, mat_a, mat_b,
             o_del: int, e_del: int, o_ins: int, e_ins: int,
-            zdrop: int, end_bonus: int, max_sc: int):
+            zdrop: int, end_bonus: int, max_sc: int,
+            h0cap: int = 1 << 30):
     P, Qmax = q.shape
     Tmax = t.shape[1]
     # Precision tiering (the reference's 8/16-bit class split,
@@ -90,7 +92,10 @@ def _bsw_dp(q, t, qlen, tlen, h0, w_in, mat_a, mat_b,
     # overflow.  Cell values are bounded by h0 + Tmax*match (+ col*e_ins
     # inside the prefix-max trick); anything larger falls back to int32 —
     # results are bit-identical either way (tested).
-    hmax_bound = (Qmax + Tmax) * max_sc + end_bonus + 1
+    # h0 (= seed_len * a) enters row 0 directly and is unbounded by the
+    # tile caps (a 20kb read's seed can carry h0 > 32767): callers pass a
+    # static h0cap covering the batch or the int32 path is used
+    hmax_bound = h0cap + (Qmax + Tmax) * max_sc + end_bonus + 1
     u_bound = hmax_bound + (Qmax + 1) * e_ins
     DT = jnp.int16 if u_bound < 16000 and e_ins <= 32 and e_del <= 32 \
         else I32
@@ -368,6 +373,44 @@ QCAP, TCAP = 256, 608
 MAX_BAND_TRY_DEV = 2   # band-doubling rounds (bwamem.cpp:51 MAX_BAND_TRY)
 
 
+def t_classes(qls: np.ndarray, tls: np.ndarray, idxs) -> list:
+    """Split pair indices across the fixed (Q, T) shape ladders
+    (sortPairsLenExt analog): per-T-rung groups, tiny groups merged
+    upward so no dispatch runs nearly empty.  Returns [(Q, T, idx_array)].
+    Shared by the object-path (_run) and array-path (run_arrays)
+    dispatchers so the two cannot drift apart."""
+    idxs = np.asarray(idxs)
+    ladder = (96, 160, 224, 320, 448, TCAP)
+    rung = np.searchsorted(ladder, tls[idxs])
+    groups = []
+    for r in range(len(ladder)):
+        sel = idxs[rung == r]
+        if len(sel):
+            groups.append((r, sel))
+    merged = []
+    cur: list = []
+    for i, (r, sel) in enumerate(groups):
+        cur.append(sel)
+        if sum(len(x) for x in cur) >= 256 or i == len(groups) - 1:
+            merged.append((r, np.concatenate(cur)))
+            cur = []
+    out = []
+    for r, sel in merged:
+        qmax = int(qls[sel].max())
+        Q = 127 if qmax <= 127 else 255 if qmax <= 255 else 383
+        out.append((Q, ladder[r], sel))
+    return out
+
+
+def h0_cap_bucket(h0max: int) -> int:
+    """Quantized static h0 bound (limits compile variants)."""
+    for c in (256, 1024, 4096):
+        if h0max <= c:
+            return c
+    return 1 << 30
+
+
+
 class DeviceBSW:
     """Bucketed device dispatch for the extension pairs.
 
@@ -415,41 +458,11 @@ class DeviceBSW:
         from . import bucket_pow2, round_up
         buckets = []
         if len(dev_idx):
-            # the DP arrays are (P, Qmax+1): size Qmax so that Qmax+1 is a
-            # multiple of the 128-wide vector lanes (129 would pad to 256
-            # and waste half the VPU).  Q and T come from FIXED ladders, not
-            # the batch maxima: every distinct (P, Q, T) is a separate XLA
-            # compile (~1-2 min each through the tunnel), so per-chunk
-            # maxima would recompile nearly every chunk.  The T rungs cost
-            # at most ~1.45x extra DP rows vs a tight tile — far cheaper
-            # than the compiles they avoid.
-            # class split by target length (sortPairsLenExt analog,
-            # bwamem.cpp:1926-2023): the DP row loop runs T iterations for
-            # every lane in the tile, so one batch-max tile makes ALL pairs
-            # pay the longest pair's rows.  Pairs are split across the rungs
-            # of the fixed ladder; tiny classes merge upward so no dispatch
-            # runs nearly empty.
-            ladder = (96, 160, 224, 320, 448, TCAP)
-            rung = np.searchsorted(ladder, tls[dev_idx])
-            groups: dict[int, list] = {}
-            for r in range(len(ladder)):
-                sel = dev_idx[rung == r]
-                if len(sel):
-                    groups[r] = sel.tolist()
-            rs = sorted(groups)
-            merged: dict[int, list] = {}
-            acc: list = []
-            for r in rs:
-                acc += groups[r]
-                if len(acc) >= 256 or r == rs[-1]:
-                    merged[r] = acc
-                    acc = []
-            if acc:  # tail smaller than 256: fold into the largest class
-                merged[rs[-1]] = merged.get(rs[-1], []) + acc
-            for r, idxs in merged.items():
-                qmax = int(qls[idxs].max())
-                Q = 127 if qmax <= 127 else 255 if qmax <= 255 else 383
-                buckets.append(((Q, ladder[r]), idxs))
+            # fixed (Q, T) shape ladders + target-length class split (see
+            # t_classes): every distinct tile is one XLA compile, and the
+            # row loop runs T iterations for every lane in the tile
+            buckets = [((Q, T), sel.tolist())
+                       for Q, T, sel in t_classes(qls, tls, dev_idx)]
         for (Q, T), idxs in buckets:
             P = bucket_pow2(len(idxs), 128)
             if use_desc:
@@ -477,7 +490,8 @@ class DeviceBSW:
                     jnp.full((P,), w, np.int32), Q, T,
                     opt.a, opt.b, opt.o_del, opt.e_del, opt.o_ins,
                     opt.e_ins, opt.zdrop, end_bonus, self.max_sc,
-                    self.dfm.ref_packed)
+                    self.dfm.ref_packed,
+                    h0_cap_bucket(int(h0[: len(idxs)].max(initial=0))))
                 out[np.array(idxs)] = np.asarray(res)[: len(idxs)]
                 continue
             q = np.full((P, Q), 4, np.int8)
@@ -497,7 +511,9 @@ class DeviceBSW:
                              jnp.asarray(h0),
                              jnp.full((P,), w, np.int32),
                              opt.a, opt.b, opt.o_del, opt.e_del, opt.o_ins,
-                             opt.e_ins, opt.zdrop, end_bonus, self.max_sc)
+                             opt.e_ins, opt.zdrop, end_bonus, self.max_sc,
+                             h0_cap_bucket(
+                                 int(h0[: len(idxs)].max(initial=0))))
             out[np.array(idxs)] = np.asarray(res)[: len(idxs)]
         if host_idx:
             from ..align.extend import native_bsw_kernel_factory
@@ -528,28 +544,7 @@ class DeviceBSW:
         qls = desc["qlen"]
         tls = desc["tlen"]
         qoff_flat = desc["seqid"].astype(np.int64) * L + desc["qoff"]
-        ladder = (96, 160, 224, 320, 448, TCAP)
-        rung = np.searchsorted(ladder, tls)
-        order = np.argsort(rung, kind="stable")
-        bounds = np.searchsorted(rung[order], np.arange(len(ladder) + 1))
-        groups = []
-        acc: list = []
-        for r in range(len(ladder)):
-            sel = order[bounds[r]:bounds[r + 1]]
-            if len(sel) == 0:
-                continue
-            acc.append((r, sel))
-        merged = []
-        cur_idx: list = []
-        for i, (r, sel) in enumerate(acc):
-            cur_idx.append(sel)
-            if sum(len(x) for x in cur_idx) >= 256 or i == len(acc) - 1:
-                merged.append((r, np.concatenate(cur_idx)))
-                cur_idx = []
-        for r, idxs in merged:
-            T = ladder[r]
-            qmax = int(qls[idxs].max())
-            Q = 127 if qmax <= 127 else 255 if qmax <= 255 else 383
+        for Q, T, idxs in t_classes(qls, tls, np.arange(n)):
             P = bucket_pow2(len(idxs), 128)
 
             def pad(a, dt):
@@ -565,6 +560,7 @@ class DeviceBSW:
                 jnp.full((P,), w, np.int32), Q, T,
                 opt.a, opt.b, opt.o_del, opt.e_del, opt.o_ins,
                 opt.e_ins, opt.zdrop, end_bonus, self.max_sc,
-                self.dfm.ref_packed)
+                self.dfm.ref_packed,
+                h0_cap_bucket(int(desc["h0"][idxs].max(initial=0))))
             out[idxs] = np.asarray(res)[: len(idxs)]
         return out

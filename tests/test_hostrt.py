@@ -130,3 +130,67 @@ def test_native_collect_smems_reads_matches_oracle(fm):
     for g, w in zip(got, want):
         assert [tuple(int(v) for v in t) for t in g] \
             == [tuple(int(v) for v in t) for t in w]
+
+
+def test_long_read_pe_rescue_host_fallback(fm):
+    # reads with l_ms * a >= 250 make every rescue problem non-u8-class:
+    # the device batch must fall back to the host kernel lanes (the
+    # enc_host/ref_host providers) instead of crashing; output must match
+    # the pure-Python path
+    import numpy as np
+    from bwamem2_tpu.io.fastq import Read
+    from bwamem2_tpu.options import MEM_F_PE
+    from bwamem2_tpu.ops.backend import DeviceBackend
+    rng = np.random.default_rng(77)
+    B = "ACGT"
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    reads = []
+    for i in range(24):
+        isize = int(rng.normal(700, 40))
+        p = int(rng.integers(0, fm.l_pac - isize))
+        frag = "".join(B[c] for c in fm.ref_string[p:p + isize])
+        r1 = frag[:300]
+        r2 = "".join(comp[c] for c in frag[-300:])[::-1]
+        # knock one mate's seeds out now and then so rescue fires
+        if i % 5 == 0:
+            r2 = "".join(str(rng.choice(list(B))) for _ in range(300))
+        reads.append(Read(name=f"L{i}", comment=None, seq=r1,
+                          qual="I" * 300))
+        reads.append(Read(name=f"L{i}", comment=None, seq=r2,
+                          qual="I" * 300))
+    opt = MemOptions().finalize()
+    opt.flag |= MEM_F_PE
+    out = {}
+    for native in (False, True):
+        rd = [Read(name=r.name, comment=None, seq=r.seq, qual=r.qual)
+              for r in reads]
+        be = DeviceBackend(fm, opt)
+        Aligner(fm, opt, backend=be, verbose=0,
+                native_rt=native).process(rd, 0)
+        out[native] = "".join(r.sam for r in rd)
+    assert out[True] == out[False]
+
+
+def test_bsw_int16_guard_includes_h0(fm):
+    # h0 beyond the int16 range must take the int32 DP path bit-exactly
+    import numpy as np
+    import jax.numpy as jnp
+    from bwamem2_tpu.ops.bsw import bsw_kernel
+    from bwamem2_tpu.native import bsw_extend
+    rng = np.random.default_rng(5)
+    P, Q, T = 8, 127, 96
+    q = rng.integers(0, 4, (P, Q)).astype(np.int8)
+    t = rng.integers(0, 4, (P, T)).astype(np.int8)
+    qlen = np.full(P, Q, np.int32)
+    tlen = np.full(P, T, np.int32)
+    h0 = np.full(P, 34000, np.int32)
+    w = np.full(P, 100, np.int32)
+    opt = MemOptions().finalize()
+    mat = np.array(opt.mat, np.int8)
+    res = np.asarray(bsw_kernel(
+        jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen),
+        jnp.asarray(tlen), jnp.asarray(h0), jnp.asarray(w),
+        1, 4, 6, 1, 6, 1, 100, 5, 1, 1 << 30))
+    for i in range(P):
+        want = bsw_extend(q[i], t[i], mat, 6, 1, 6, 1, 100, 5, 100, 34000)
+        assert tuple(int(x) for x in res[i]) == tuple(want)
