@@ -20,8 +20,8 @@ from . import bucket_pow2, round_up
 from .device_index import DeviceFMIndex
 from .salookup import sa_lookup_kernel
 from .smem import (round1_chain_kernel, round1_compact_kernel,
-                   round2_backward_kernel, round2_forward_kernel,
-                   round3_replay_kernel)
+                   round2_backward_kernel, round2_backward_resume_kernel,
+                   round2_forward_kernel, round3_replay_kernel)
 
 ROUND2_MAX_CAND = 24  # distinct interval sizes along one forward path:
 # observed max 15 on 100kb/4.6Mb genomes, ~log(genome); overflow pivots
@@ -256,16 +256,44 @@ class DeviceBackend:
         piv_idx = np.concatenate([lane_piv,
                                   np.full(pad, P - 1, np.int32)])
         slot_idx = np.concatenate([lane_slot, np.zeros(pad, np.int32)])
-        steps, fk, fs, died = jax.device_get(round2_backward_kernel(
-            self.dfm, encj, ridp_j, xp_j,
-            ck_dev, cs_dev, jnp.asarray(piv_idx), jnp.asarray(slot_idx),
-            mi_j))
+        # two-phase backward walk: a short lockstep phase over all lanes,
+        # then only the surviving lanes (typically <10%) re-dispatch
+        # compacted for the long tail — most of the full-L gather work
+        # never runs (see round2_backward_kernel)
+        BWD_PHASE = 32
+        steps, fk, fs, died, alive = jax.device_get(
+            round2_backward_kernel(
+                self.dfm, encj, ridp_j, xp_j,
+                ck_dev, cs_dev, jnp.asarray(piv_idx),
+                jnp.asarray(slot_idx), mi_j, BWD_PHASE))
+        steps = steps[:nl].copy()
+        fk = fk[:nl].copy()
+        fs = fs[:nl].copy()
+        died = died[:nl].copy()
+        alive = alive[:nl]
+        live_idx = np.nonzero(alive)[0]
+        if len(live_idx):
+            Msub = bucket_pow2(len(live_idx), 64)
+            pad = Msub - len(live_idx)
+            lane_p = piv_idx[live_idx]
+            rid_s = np.concatenate([ridp[lane_p], np.zeros(pad, np.int32)])
+            x_s = np.concatenate([xp[lane_p], np.zeros(pad, np.int32)])
+            mi_s = np.concatenate([min_intv[lane_p],
+                                   np.ones(pad, np.int64)])
+            col_s = np.concatenate([steps[live_idx],
+                                    np.zeros(pad, steps.dtype)])
+            k_s = np.concatenate([fk[live_idx], np.zeros(pad, np.int64)])
+            s_s = np.concatenate([fs[live_idx], np.ones(pad, np.int64)])
+            st2 = jax.device_get(round2_backward_resume_kernel(
+                self.dfm, encj, jnp.asarray(rid_s), jnp.asarray(x_s),
+                jnp.asarray(mi_s), jnp.asarray(col_s), jnp.asarray(k_s),
+                int(encj.shape[1]), jnp.asarray(s_s)))
+            steps[live_idx] = st2[0][:len(live_idx)]
+            fk[live_idx] = st2[1][:len(live_idx)]
+            fs[live_idx] = st2[2][:len(live_idx)]
+            died[live_idx] = st2[3][:len(live_idx)]
         PROF.add(f"seeding.r2{prof_tag}.bwd", _time.perf_counter() - _t0)
         _t0 = _time.perf_counter()
-        steps = steps[:nl]
-        fk = fk[:nl]
-        fs = fs[:nl]
-        died = died[:nl]
 
         # emission rules (see module docstring of ops/smem.py), vectorized:
         # per pivot, candidates are examined in DESCENDING slot order; each

@@ -449,12 +449,12 @@ def round2_forward_kernel(dfm: DeviceFMIndex, enc: jax.Array,
     return cand_n.astype(jnp.int16), cand_k, cand_l, cand_s, ncand
 
 
-@partial(jax.jit, static_argnums=())
+@partial(jax.jit, static_argnums=(9,))
 def round2_backward_kernel(dfm: DeviceFMIndex, enc: jax.Array,
                            ridp: jax.Array, xp: jax.Array,
                            ck: jax.Array, cs: jax.Array,
                            piv_idx: jax.Array, slot_idx: jax.Array,
-                           min_intv: jax.Array):
+                           min_intv: jax.Array, steps_max: int = 0):
     """Backward pass per candidate lane.
 
     enc: the device-resident padded read grid int8[N, L]; ridp/xp int32[P]:
@@ -465,23 +465,52 @@ def round2_backward_kernel(dfm: DeviceFMIndex, enc: jax.Array,
     ck[piv, slot]), and chars come straight from the read grid — nothing is
     re-sliced on the host or re-uploaded.  Walks until the interval size
     drops below min_intv; returns steps taken (death offset), final k/s,
-    and whether the lane died (vs hit start/N)."""
+    and whether the lane died (vs hit start/N).
+
+    steps_max > 0 runs only that many lockstep steps and also returns the
+    alive mask: most lanes die within ~24 LF steps, so the caller runs a
+    short first phase over all lanes, then re-dispatches only the (rare)
+    survivors through round2_backward_resume_kernel — a fraction of the
+    full-L lockstep gather work."""
     N, L = enc.shape
-    enc_flat = enc.reshape(-1).astype(jnp.int32)
     k = ck[piv_idx, slot_idx]
     s = cs[piv_idx, slot_idx]
-    rid = ridp[piv_idx]
     x = xp[piv_idx]
     mi = min_intv[piv_idx]
     M = piv_idx.shape[0]
-    steps = jnp.zeros((M,), jnp.int32)
     col = jnp.zeros((M,), jnp.int32)
     alive = (x > 0) & (s > 0)
     died = jnp.zeros((M,), bool)
+    st = _bwd_walk(dfm, enc, ridp[piv_idx], x, mi, alive, col, k, s, died,
+                   steps_max if steps_max > 0 else L)
+    alive, col, k, s, died = st
+    if steps_max > 0:
+        return col, k, s, died, alive
+    return col, k, s, died
+
+
+@partial(jax.jit, static_argnums=(7,))
+def round2_backward_resume_kernel(dfm: DeviceFMIndex, enc: jax.Array,
+                                  rid: jax.Array, x: jax.Array,
+                                  mi: jax.Array, col0: jax.Array,
+                                  k0: jax.Array, L_steps: int,
+                                  s0: jax.Array):
+    """Continue compacted surviving lanes from (col0, k0, s0) to the end."""
+    alive = jnp.ones(col0.shape, bool)
+    died = jnp.zeros(col0.shape, bool)
+    st = _bwd_walk(dfm, enc, rid, x, mi, alive, col0, k0, s0, died,
+                   L_steps)
+    alive, col, k, s, died = st
+    return col, k, s, died
+
+
+def _bwd_walk(dfm, enc, rid, x, mi, alive, col, k, s, died, n_steps: int):
+    N, L = enc.shape
+    enc_flat = enc.reshape(-1).astype(jnp.int32)
     base = rid * L + x - 1
 
     def body(_, st):
-        alive, col, k, s, steps, died = st
+        alive, col, k, s, died = st
         c = enc_flat[jnp.clip(base - col, 0, N * L - 1)]
         ok = alive & (col < x) & (c < 4)
         cc = jnp.where(ok, c, 0).astype(jnp.int32)
@@ -491,11 +520,8 @@ def round2_backward_kernel(dfm: DeviceFMIndex, enc: jax.Array,
         died = died | dies
         k = jnp.where(ext, k2, k)
         s = jnp.where(ext, s2, s)
-        steps = jnp.where(ext, steps + 1, steps)
         col = jnp.where(ext, col + 1, col)
         alive = ext
-        return alive, col, k, s, steps, died
+        return alive, col, k, s, died
 
-    st = fori_unroll2(0, L, body, (alive, col, k, s, steps, died))
-    _, _, k, s, steps, died = st
-    return steps, k, s, died
+    return fori_unroll2(0, n_steps, body, (alive, col, k, s, died))
