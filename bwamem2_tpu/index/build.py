@@ -79,10 +79,9 @@ def build_index(fasta_path: str, prefix: str | None = None,
     idxio.write_0123(prefix, seq)
 
     log(f"[index] building suffix array over {len(seq)} bases (SA-IS)")
-    sa_body = sais(seq, 4)
     sa = np.empty(len(seq) + 1, dtype=np.int64)
     sa[0] = len(seq)  # empty suffix first (FMI_search.cpp:373)
-    sa[1:] = sa_body
+    sais(seq, 4, out=sa[1:])   # writes in place: no second SA-sized copy
 
     log("[index] building FM arrays (BWT, CP_OCC, compressed SA)")
     arrays = idxio.build_fm_arrays(seq, sa)

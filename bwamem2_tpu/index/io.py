@@ -293,14 +293,22 @@ def build_fm_arrays(seq_codes: np.ndarray, sa: np.ndarray):
     Returns dict of arrays ready for serialization.
     """
     n1 = len(sa)  # = ref_seq_len in the file (includes sentinel slot)
-    # BWT with sentinel = 4 where sa == 0
-    bwt = np.where(sa == 0, np.uint8(4),
-                   seq_codes[(sa - 1).clip(0)]).astype(np.uint8)
-    sentinel_index = int(np.nonzero(sa == 0)[0][0])
-
+    # BWT with sentinel = 4 where sa == 0, computed in chunks: a whole-array
+    # fancy index would materialize a second SA-sized int64 array (50GB at
+    # human scale — the 3.1Gbp build OOM'd exactly there)
     n_aligned = ((n1 + CP_BLOCK_SIZE - 1) // CP_BLOCK_SIZE) * CP_BLOCK_SIZE
     bwt_pad = np.full(n_aligned, 6, dtype=np.uint8)
-    bwt_pad[:n1] = bwt
+    sentinel_index = -1
+    CH = 1 << 27
+    for i in range(0, n1, CH):
+        s = sa[i:i + CH]
+        z = s == 0
+        if sentinel_index < 0 and z.any():
+            sentinel_index = i + int(np.argmax(z))
+        # s-1 == -1 at the sentinel wraps to the last element; the where
+        # overrides that lane, so no clip copy is needed
+        bwt_pad[i:i + len(s)] = np.where(z, np.uint8(4),
+                                         seq_codes[s - 1])
     blocks = bwt_pad.reshape(-1, CP_BLOCK_SIZE)
 
     cp_occ_size = (n1 >> CP_SHIFT) + 1

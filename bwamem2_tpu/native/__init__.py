@@ -109,15 +109,19 @@ def get_lib() -> ctypes.CDLL:
     return _lib
 
 
-def sais(seq: np.ndarray, k: int = 6) -> np.ndarray:
+def sais(seq: np.ndarray, k: int = 6,
+         out: np.ndarray | None = None) -> np.ndarray:
     """Suffix array of a uint8 sequence (values < k), int64 output.
 
     Matches the reference's sais-lite semantics (end-of-string sorts first);
-    used by the index builder exactly like FMI_search.cpp:372.
-    """
+    used by the index builder exactly like FMI_search.cpp:372.  `out` lets
+    the caller provide the destination (e.g. a view into a larger array —
+    at human scale an extra 50GB copy is the difference between fitting
+    RAM and OOM)."""
     seq = np.ascontiguousarray(seq, dtype=np.uint8)
     n = seq.shape[0]
-    sa = np.empty(n, dtype=np.int64)
+    sa = out if out is not None else np.empty(n, dtype=np.int64)
+    assert sa.flags["C_CONTIGUOUS"] and len(sa) == n
     rc = get_lib().sais_u8(seq, sa, n, k)
     if rc != 0:
         raise RuntimeError("sais failed")

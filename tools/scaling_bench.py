@@ -54,11 +54,15 @@ def main():
     sams = {}
     for n in [int(x) for x in args.ns.split(",")]:
         outdir = os.path.join(args.dir, f"shards_{n}")
+        if os.path.isdir(outdir):
+            import shutil
+            shutil.rmtree(outdir)
         times = [run_shard(prefix, fq1, fq2, outdir, h, n, args.chunk)
                  for h in range(n)]
         results[n] = times
         parts = sorted(os.path.join(outdir, f)
-                       for f in os.listdir(outdir) if f.endswith(".sam"))
+                       for f in os.listdir(outdir)
+                       if f.startswith("part.chunk") and f.endswith(".sam"))
         merged = os.path.join(outdir, "merged.sam")
         subprocess.run([sys.executable, "-m", "bwamem2_tpu.cli", "merge",
                         merged] + parts, cwd=REPO, check=True,
