@@ -309,6 +309,8 @@ def build_fm_arrays(seq_codes: np.ndarray, sa: np.ndarray):
         # overrides that lane, so no clip copy is needed
         bwt_pad[i:i + len(s)] = np.where(z, np.uint8(4),
                                          seq_codes[s - 1])
+    if sentinel_index < 0:
+        raise ValueError("suffix array has no sentinel entry (sa == 0)")
     blocks = bwt_pad.reshape(-1, CP_BLOCK_SIZE)
 
     cp_occ_size = (n1 >> CP_SHIFT) + 1

@@ -121,7 +121,9 @@ def sais(seq: np.ndarray, k: int = 6,
     seq = np.ascontiguousarray(seq, dtype=np.uint8)
     n = seq.shape[0]
     sa = out if out is not None else np.empty(n, dtype=np.int64)
-    assert sa.flags["C_CONTIGUOUS"] and len(sa) == n
+    if not (sa.flags["C_CONTIGUOUS"] and sa.dtype == np.int64
+            and len(sa) == n):
+        raise ValueError("sais out buffer must be C-contiguous int64[n]")
     rc = get_lib().sais_u8(seq, sa, n, k)
     if rc != 0:
         raise RuntimeError("sais failed")

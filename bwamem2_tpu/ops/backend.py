@@ -284,10 +284,12 @@ class DeviceBackend:
                                     np.zeros(pad, steps.dtype)])
             k_s = np.concatenate([fk[live_idx], np.zeros(pad, np.int64)])
             s_s = np.concatenate([fs[live_idx], np.ones(pad, np.int64)])
+            # survivors already took BWD_PHASE steps, so at most
+            # L - BWD_PHASE more can execute
             st2 = jax.device_get(round2_backward_resume_kernel(
                 self.dfm, encj, jnp.asarray(rid_s), jnp.asarray(x_s),
                 jnp.asarray(mi_s), jnp.asarray(col_s), jnp.asarray(k_s),
-                int(encj.shape[1]), jnp.asarray(s_s)))
+                int(encj.shape[1]) - BWD_PHASE, jnp.asarray(s_s)))
             steps[live_idx] = st2[0][:len(live_idx)]
             fk[live_idx] = st2[1][:len(live_idx)]
             fs[live_idx] = st2[2][:len(live_idx)]

@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -55,7 +56,6 @@ def main():
     for n in [int(x) for x in args.ns.split(",")]:
         outdir = os.path.join(args.dir, f"shards_{n}")
         if os.path.isdir(outdir):
-            import shutil
             shutil.rmtree(outdir)
         times = [run_shard(prefix, fq1, fq2, outdir, h, n, args.chunk)
                  for h in range(n)]
