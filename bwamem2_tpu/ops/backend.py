@@ -56,7 +56,9 @@ class DeviceBackend:
         self.pivot_seeding = pivot_seeding
         self.lut_k_bits = 0
         lut = None
-        if use_klut:
+        # the K-mer LUT only jump-starts the legacy per-end grid walk; the
+        # pivot chain never reads it (268MB + a build pass at human scale)
+        if use_klut and not pivot_seeding:
             from ..index.klut import load_or_build_klut
             K, lk, ls = load_or_build_klut(fm, index_prefix)
             self.lut_k_bits = K
