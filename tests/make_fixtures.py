@@ -188,6 +188,34 @@ def main():
     with open(os.path.join(DATA, "reads_hard.fq"), "w") as f:
         f.write("".join(hard))
 
+    # pacbio/ont-style long reads (2-8kb, ~10% error) from chrA
+    rng_p = np.random.default_rng(424242)
+    gA = "".join(contigs.values())[:60000]
+    pb = []
+    for i in range(25):
+        ln = int(rng_p.integers(2000, 8000))
+        p0 = int(rng_p.integers(0, len(gA) - ln))
+        src = list(gA[p0:p0 + ln].replace("N", "A"))
+        out2, j = [], 0
+        while j < len(src):
+            r = rng_p.random()
+            if r < 0.04:
+                j += 1
+                continue
+            if r < 0.07:
+                out2.append(str(rng_p.choice(BASES)))
+                continue
+            out2.append(str(rng_p.choice(BASES)) if r < 0.10 else src[j])
+            j += 1
+        seq = "".join(out2)
+        if rng_p.random() < 0.5:
+            seq = "".join(comp[c] for c in reversed(seq))
+        q = "".join(chr(33 + int(x))
+                    for x in rng_p.integers(10, 30, len(seq)))
+        pb.append(f"@pb_{i}\n{seq}\n+\n{q}\n")
+    with open(os.path.join(DATA, "reads_pacbio.fq"), "w") as f:
+        f.write("".join(pb))
+
     # tiny genome for oracle unit tests
     tiny = "".join(rng.choice(BASES, size=3000).tolist())
     tiny = tiny[:1200] + "NNNNNNNN" + tiny[1200:]
@@ -219,6 +247,14 @@ def main():
             subprocess.run(
                 [REF_BIN, "mem", pref, os.path.join(DATA, "reads_hard.fq")],
                 check=True, stdout=out, stderr=subprocess.DEVNULL, env=env)
+        for mode, gname in (("pacbio", "golden_pacbio.sam"),
+                            ("ont2d", "golden_ont2d.sam")):
+            with open(os.path.join(FIX, gname), "w") as out:
+                subprocess.run(
+                    [REF_BIN, "mem", "-x", mode, pref,
+                     os.path.join(DATA, "reads_pacbio.fq")],
+                    check=True, stdout=out, stderr=subprocess.DEVNULL,
+                    env=env)
         with open(os.path.join(FIX, "golden_mixed_p.sam"), "w") as out:
             subprocess.run(
                 [REF_BIN, "mem", "-p", pref,

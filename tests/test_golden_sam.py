@@ -71,3 +71,25 @@ def test_indel_and_repeat_adversarial_golden(fm):
     ours = "".join(r.sam for r in reads).splitlines(keepends=True)
     golden = golden_lines("golden_se_hard.sam")
     assert ours == golden
+
+
+def test_pacbio_preset_long_reads(fm):
+    # -x pacbio: 2-8kb reads at ~10% error through the long-read path
+    # (native whole-read seeding + scalar-tail extension)
+    opt = MemOptions().finalize("pacbio")
+    reads = read_chunk(FastxReader(os.path.join(DATA, "reads_pacbio.fq")),
+                       None, 10**9)
+    Aligner(fm, opt, verbose=0).process(reads, 0)
+    ours = "".join(r.sam for r in reads).splitlines(keepends=True)
+    golden = golden_lines("golden_pacbio.sam")
+    assert ours == golden
+
+
+def test_ont2d_preset_long_reads(fm):
+    opt = MemOptions().finalize("ont2d")
+    reads = read_chunk(FastxReader(os.path.join(DATA, "reads_pacbio.fq")),
+                       None, 10**9)
+    Aligner(fm, opt, verbose=0).process(reads, 0)
+    ours = "".join(r.sam for r in reads).splitlines(keepends=True)
+    golden = golden_lines("golden_ont2d.sam")
+    assert ours == golden
