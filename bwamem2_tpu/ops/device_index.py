@@ -48,6 +48,11 @@ class DeviceFMIndex:
     lut_k: jax.Array      # int64[4^K] K-mer interval starts (or size-1 dummy)
     lut_s: jax.Array      # int64[4^K] K-mer interval sizes
     ref_packed: bool = False   # static: 4 chars/byte (human-scale HBM)
+    # genome-bucket index sharding (SURVEY §5.8): when set, occ4/sa_ms/sa_ls
+    # hold only the LOCAL row shard (contiguous blocks, axis-index order)
+    # and every row fetch is the distributed gather in _dist_rows.  Code
+    # using a sharded index must run inside shard_map over this axis.
+    shard_axis: str | None = None
 
     OCC1_MAX_PAC = 1 << 30
     # pack the doubled genome 4 chars/byte above this (2*l_pac): at human
@@ -58,11 +63,13 @@ class DeviceFMIndex:
     def tree_flatten(self):
         return ((self.occ4, self.occ1, self.counts, self.sa_ms, self.sa_ls,
                  self.sentinel, self.ref, self.lut_k, self.lut_s),
-                self.ref_packed)
+                (self.ref_packed, self.shard_axis))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, ref_packed=aux)
+        if not isinstance(aux, tuple):   # pre-sharding pytrees
+            aux = (aux, None)
+        return cls(*children, ref_packed=aux[0], shard_axis=aux[1])
 
     @classmethod
     def from_host(cls, fm: FMIndex, device=None,
@@ -135,12 +142,54 @@ def _u32(x):
     return jax.lax.bitcast_convert_type(x, jnp.uint32)
 
 
+def _dist_rows(tab, idx, axis: str):
+    """Distributed row gather for a dim-0-sharded table (genome-bucket
+    index sharding, SURVEY §5.8; the TPU-native stand-in for the
+    reference's single shared-memory CP_OCC, FMI_search.h:54-58).
+
+    `tab` is the LOCAL shard — contiguous rows, split across the mesh
+    `axis` in axis-index order.  `idx` holds GLOBAL row ids (same shape and
+    meaning on every device: each device queries for its own lanes).  One
+    all_gather of the ids, one local gather (ids outside the local range
+    contribute 0 — exactly one shard owns each id), one psum_scatter to
+    route every row back to the asking device.  Collectives ride ICI; the
+    per-device gather work is D× the replicated case over 1/D the table —
+    a capacity trade, used when the index cannot fit one chip's HBM."""
+    D = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    nloc = tab.shape[0]
+    shape = idx.shape
+    ids = idx.reshape(-1)
+    n = ids.shape[0]
+    ids_all = jax.lax.all_gather(ids, axis)              # (D, n)
+    loc = ids_all - jnp.asarray(me * nloc, ids_all.dtype)
+    inr = (loc >= 0) & (loc < nloc)
+    safe = jnp.clip(loc, 0, nloc - 1)
+    if tab.ndim > 1:
+        W = tab.shape[-1]
+        rows = jnp.where(inr[..., None], tab[safe], 0)
+        out = jax.lax.psum_scatter(rows.reshape(D * n, W), axis,
+                                   scatter_dimension=0, tiled=True)
+        return out.reshape(*shape, W)
+    rows = jnp.where(inr, tab[safe], 0)
+    out = jax.lax.psum_scatter(rows.reshape(D * n), axis,
+                               scatter_dimension=0, tiled=True)
+    return out.reshape(shape)
+
+
+def _fetch_rows(dfm: DeviceFMIndex, tab, idx):
+    """Row gather honoring the index's sharding mode."""
+    if dfm.shard_axis is None:
+        return tab[idx]
+    return _dist_rows(tab, idx, dfm.shard_axis)
+
+
 def _row(dfm: DeviceFMIndex, pos):
     """Fetch the packed 16-lane block row for each position: ONE gather.
     Returns (cp int64[...,4], hi uint32[...,4], lo uint32[...,4], y)."""
     blk = (pos >> 6).astype(jnp.int32)
     y = (pos & 63).astype(jnp.int32)
-    row = dfm.occ4[blk]                          # (..., 16)
+    row = _fetch_rows(dfm, dfm.occ4, blk)        # (..., 16)
     cp = (_u32(row[..., 0:4]).astype(jnp.int64)
           + (row[..., 4:8].astype(jnp.int64) << 32))
     return cp, _u32(row[..., 8:12]), _u32(row[..., 12:16]), y
@@ -158,8 +207,10 @@ def occ_one(dfm: DeviceFMIndex, pos, c):
 
     Small genomes keep a per-(block,char) table so this is one 16-byte row
     gather + two popcounts (W=4 gathers are ~15% faster than W=16 and move
-    4x fewer bytes); otherwise one 64-byte block row gather + selects."""
-    if dfm.occ1.shape[0] > 1:
+    4x fewer bytes); otherwise one 64-byte block row gather + selects.
+    Sharded indexes always take the occ4 path (occ1 is a small-genome-only
+    duplicate; sharding exists for genomes where it is never built)."""
+    if dfm.occ1.shape[0] > 1 and dfm.shard_axis is None:
         blk = (pos >> 6).astype(jnp.int32)
         y = (pos & 63).astype(jnp.int32)
         row = dfm.occ1[(blk << 2) + c]

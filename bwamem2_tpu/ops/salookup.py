@@ -15,7 +15,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .device_index import DeviceFMIndex, bwt_char, occ_one
+from .device_index import DeviceFMIndex, _fetch_rows, bwt_char, occ_one
 
 
 @partial(jax.jit, static_argnums=())
@@ -47,10 +47,17 @@ def sa_lookup_kernel(dfm: DeviceFMIndex, pos: jax.Array) -> jax.Array:
             st = step_fn(st)
         return st
 
+    if dfm.shard_axis is None:
+        cond = lambda st: jnp.any(~st[0])
+    else:
+        # under shard_map every device must take the same trip count (the
+        # loop body contains collectives): reduce the liveness globally
+        cond = lambda st: jax.lax.psum(
+            jnp.any(~st[0]).astype(jnp.int32), dfm.shard_axis) > 0
+
     done, sp, offset, hit_sentinel = jax.lax.while_loop(
-        lambda st: jnp.any(~st[0]), body16,
-        (done, sp, offset, hit_sentinel))
+        cond, body16, (done, sp, offset, hit_sentinel))
     idx = (sp >> 3).astype(jnp.int32)
-    sa = (dfm.sa_ms[idx].astype(jnp.int64) << 32) \
-        + dfm.sa_ls[idx].astype(jnp.int64)
+    sa = (_fetch_rows(dfm, dfm.sa_ms, idx).astype(jnp.int64) << 32) \
+        + _fetch_rows(dfm, dfm.sa_ls, idx).astype(jnp.int64)
     return jnp.where(hit_sentinel, offset, sa + offset)

@@ -1,0 +1,106 @@
+"""Genome-bucket FM-index sharding across a device mesh (SURVEY §5.8).
+
+The replicated deployment (parallel/mesh.py) needs every chip to hold the
+whole index; at human scale (3.1 Gbp) the occ table alone is 6.2 GB and the
+compressed SA 3.9 GB — together they drown a 16 GB v5e once kernel working
+sets are added.  This module shards the two big tables by CONTIGUOUS ROW
+RANGE ("genome bucket") over a mesh axis:
+
+  occ4   int32[nblocks, 16]  -> rows split across devices (axis order)
+  sa_ms  int8 [(n>>3)+1]     -> same
+  sa_ls  uint32[(n>>3)+1]    -> same
+  counts / sentinel / ref / lut stay replicated (ref is 2-bit packed at
+  this scale: 1.55 GB; see DeviceFMIndex.REF_PACK_MIN).
+
+Per-chip HBM at 3.1 Gbp: replicated = 6.2 + 3.9 + 1.55 ≈ 11.7 GB;
+sharded over 4 chips = (6.2 + 3.9)/4 + 1.55 ≈ 4.1 GB.
+
+Every row fetch inside the kernels becomes the distributed gather
+`ops.device_index._dist_rows` (all_gather ids → local gather → psum_scatter
+rows), so kernels run unmodified inside `jax.shard_map` with reads sharded
+over the same axis — lookups cost one ICI round per LF step in exchange for
+the capacity.  The reference has no equivalent (single shared-memory
+CP_OCC, FMI_search.h:54-58); this is the TPU-native answer to its "one
+socket sees the whole table" assumption.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.device_index import DeviceFMIndex
+
+
+def _pad_rows(a: np.ndarray, d: int) -> np.ndarray:
+    pad = (-a.shape[0]) % d
+    if pad == 0:
+        return a
+    return np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+
+
+def shard_index(mesh: Mesh, dfm: DeviceFMIndex,
+                axis: str = "data") -> DeviceFMIndex:
+    """Re-lay a (host or device) DeviceFMIndex with occ4/sa_ms/sa_ls
+    sharded along `axis` and everything else replicated.  The result's
+    kernels must run inside shard_map over the same mesh axis."""
+    d = mesh.shape[axis]
+    row_sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    def put_sharded(x):
+        return jax.device_put(_pad_rows(np.asarray(x), d), row_sh)
+
+    return DeviceFMIndex(
+        occ4=put_sharded(dfm.occ4),
+        occ1=jax.device_put(np.zeros((1, 4), np.int32), rep),  # occ4 path
+        counts=jax.device_put(np.asarray(dfm.counts), rep),
+        sa_ms=put_sharded(dfm.sa_ms),
+        sa_ls=put_sharded(dfm.sa_ls),
+        sentinel=jax.device_put(np.asarray(dfm.sentinel), rep),
+        ref=jax.device_put(np.asarray(dfm.ref), rep),
+        lut_k=jax.device_put(np.asarray(dfm.lut_k), rep),
+        lut_s=jax.device_put(np.asarray(dfm.lut_s), rep),
+        ref_packed=dfm.ref_packed,
+        shard_axis=axis,
+    )
+
+
+def index_specs(dfm: DeviceFMIndex, axis: str = "data") -> DeviceFMIndex:
+    """The PartitionSpec pytree matching shard_index's layout (for
+    shard_map in_specs)."""
+    return DeviceFMIndex(
+        occ4=P(axis), occ1=P(), counts=P(), sa_ms=P(axis), sa_ls=P(axis),
+        sentinel=P(), ref=P(), lut_k=P(), lut_s=P(),
+        ref_packed=dfm.ref_packed, shard_axis=axis)
+
+
+def sharded_kernel(mesh: Mesh, kernel, dfm_spec: DeviceFMIndex,
+                   n_read_args: int, axis: str = "data", out_specs=None):
+    """Wrap `kernel(dfm, *read_arrays, ...)` in shard_map: index sharded
+    per dfm_spec, the first n_read_args arrays sharded along their leading
+    (read/lane) dim, outputs sharded the same way by default."""
+    in_specs = (dfm_spec,) + (P(axis),) * n_read_args
+    if out_specs is None:
+        out_specs = P(axis)
+    return jax.shard_map(kernel, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+
+
+def sharded_seed_extend_sharded_index(mesh: Mesh, dfm: DeviceFMIndex,
+                                      enc, lens, axis: str = "data"):
+    """seed_extend_step with BOTH reads and index sharded over `axis` —
+    the full §5.8 deployment shape.  Returns host arrays trimmed to the
+    true batch size; output is bit-identical to the replicated-index path
+    (asserted by dryrun_multichip and tests/test_shard_index.py)."""
+    from ..ops.entry import seed_extend_step
+    from .mesh import shard_batch
+    sdfm = shard_index(mesh, dfm, axis)
+    encs, lenss, n = shard_batch(mesh, np.asarray(enc), np.asarray(lens),
+                                 axis)
+    fn = sharded_kernel(mesh, seed_extend_step, index_specs(sdfm, axis), 2,
+                        axis)
+    out = fn(sdfm, encs, lenss)
+    return [np.asarray(o)[:n] for o in out]

@@ -1,0 +1,110 @@
+"""Genome-bucket index sharding: bit-identity vs the replicated index.
+
+Runs on the virtual 8-device CPU mesh (conftest).  The sharded layout
+splits occ4/sa_ms/sa_ls by contiguous row range over the mesh axis and
+fetches rows with all_gather + local-gather + psum_scatter
+(ops.device_index._dist_rows); every result must equal the replicated
+path exactly — same gathers, same arithmetic, different transport.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from bwamem2_tpu.index.fmindex import FMIndex
+from bwamem2_tpu.ops.device_index import DeviceFMIndex, occ_all4, \
+    bwt_char_occ, occ_one
+from bwamem2_tpu.ops.salookup import sa_lookup_kernel
+from bwamem2_tpu.parallel.mesh import make_mesh
+from bwamem2_tpu.parallel.shard_index import (index_specs, shard_index,
+                                              sharded_kernel,
+                                              sharded_seed_extend_sharded_index)
+
+from conftest import FIXTURES
+import os
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the virtual 8-device CPU mesh")
+
+
+@pytest.fixture(scope="module")
+def fm():
+    return FMIndex.load(os.path.join(FIXTURES, "ref_small.fa"))
+
+
+@pytest.fixture(scope="module")
+def dfm(fm):
+    return DeviceFMIndex.from_host(fm)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+def test_occ_rows_match(fm, dfm, mesh):
+    rng = np.random.default_rng(0)
+    n = 4096  # multiple of mesh size
+    pos = jnp.asarray(rng.integers(0, 2 * fm.l_pac, n), jnp.int64)
+    ref_occ = np.asarray(occ_all4(dfm, pos))
+    ref_bc = [np.asarray(x) for x in bwt_char_occ(dfm, pos)]
+    c = jnp.asarray(rng.integers(0, 4, n), jnp.int32)
+    ref_one = np.asarray(occ_one(dfm, pos, c))
+
+    sdfm = shard_index(mesh, dfm)
+    spec = index_specs(sdfm)
+
+    f1 = sharded_kernel(mesh, occ_all4, spec, 1)
+    got = np.asarray(f1(sdfm, pos))
+    np.testing.assert_array_equal(got, ref_occ)
+
+    f2 = sharded_kernel(mesh, bwt_char_occ, spec, 1, out_specs=(P("data"),
+                                                                P("data")))
+    got_c, got_o = f2(sdfm, pos)
+    np.testing.assert_array_equal(np.asarray(got_c), ref_bc[0])
+    np.testing.assert_array_equal(np.asarray(got_o), ref_bc[1])
+
+    f3 = sharded_kernel(mesh, occ_one, spec, 2)
+    np.testing.assert_array_equal(np.asarray(f3(sdfm, pos, c)), ref_one)
+
+
+def test_sa_lookup_match(fm, dfm, mesh):
+    rng = np.random.default_rng(1)
+    n = 2048
+    pos = jnp.asarray(rng.integers(0, 2 * fm.l_pac, n), jnp.int64)
+    want = np.asarray(sa_lookup_kernel(dfm, pos))
+    sdfm = shard_index(mesh, dfm)
+    f = sharded_kernel(mesh, sa_lookup_kernel, index_specs(sdfm), 1)
+    np.testing.assert_array_equal(np.asarray(f(sdfm, pos)), want)
+
+
+def test_seed_extend_sharded_index_bitidentical(fm, dfm, mesh):
+    from bwamem2_tpu.ops.entry import seed_extend_step
+    rng = np.random.default_rng(2)
+    n, L = 32, 128
+    enc = np.full((n, L), 4, np.int32)
+    lens = np.full((n,), L, np.int32)
+    for i in range(n):
+        p = int(rng.integers(0, fm.l_pac - L))
+        enc[i] = fm.ref_string[p:p + L]
+        mut = rng.integers(0, L, 3)
+        enc[i, mut] = (enc[i, mut] + 1) % 4
+    want = [np.asarray(o) for o in
+            seed_extend_step(dfm, jnp.asarray(enc), jnp.asarray(lens))]
+    got = sharded_seed_extend_sharded_index(mesh, dfm, enc, lens)
+    assert len(want) == len(got)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_shard_memory_split(fm, dfm, mesh):
+    """Each device holds ~1/8 of the sharded tables (the capacity story)."""
+    sdfm = shard_index(mesh, dfm)
+    total = dfm.occ4.size * 4 + dfm.sa_ms.size + dfm.sa_ls.size * 4
+    shards = sdfm.occ4.addressable_shards
+    assert len(shards) == 8
+    per_dev = shards[0].data.size * 4
+    assert per_dev <= total // 8 + 64 * 4
