@@ -35,10 +35,14 @@ merges into the previous entry only while its stored row (the row of the
 entry's last strict improvement) immediately precedes it; score2/te2 is the
 first-best entry outside te +- ceil(score/max_mat).
 
-u8 saturation (score 255) and 16-bit problems (l_ms * a >= 250) fall back
-to the native scalar kernel per lane — for short-read mate rescue the u8
-class covers everything, exactly like the reference's XBYTE selection
-(bwamem_pair.cpp / mem_matesw xtra).
+Both precision classes run on device: 16-bit problems (l_ms * a >= 250,
+the reference's XBYTE selection — bwamem_pair.cpp / mem_matesw xtra) go
+through the i16 variant of the same kernel (8 stripes, raw signed adds,
+no bias — kswv512_16 / ksw_i16, kswv.cpp:713, ksw.cpp:234).  u8-SATURATED
+lanes emit the native saturated shape (255, te, -1...) unchanged —
+ksw_align2 has no i16 rerun (ksw.cpp:347-381) and downstream matesw
+drops such hits.  Only problems beyond the descriptor caps fall back to
+the native scalar kernel per lane.
 """
 
 from __future__ import annotations
@@ -55,13 +59,16 @@ HUGE = jnp.int32(1 << 22)
 
 
 @partial(jax.jit,
-         static_argnums=(11, 12, 13, 14, 15, 16, 17, 18, 19, 20))
-def kswv_u8_kernel(ref, enc, qoff, qdir, qcomp, qlen, toff, tdir, tlen,
-                   endsc, do_lane,
-                   Qmax: int, Tmax: int, minsc: int, mat_a: int, mat_b: int,
-                   o_del: int, e_del: int, o_ins: int, e_ins: int,
-                   ref_packed: bool = False):
-    """One phase of batched striped-u8 local SW from descriptors.
+         static_argnums=(11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21))
+def kswv_kernel(ref, enc, qoff, qdir, qcomp, qlen, toff, tdir, tlen,
+                endsc, do_lane,
+                Qmax: int, Tmax: int, minsc: int, mat_a: int, mat_b: int,
+                o_del: int, e_del: int, o_ins: int, e_ins: int,
+                ref_packed: bool = False, u8: bool = True):
+    """One phase of batched striped local SW from descriptors, emulating
+    the u8 (16-stripe, biased, 255-saturating) or i16 (8-stripe, raw
+    signed, kswv512_16 / ksw_i16 class — kswv.cpp:713, ksw.cpp:234)
+    kernel lane-exactly.
 
     qoff int32[P]: flattened read-grid index of the first query char;
     qdir/qcomp: walk direction and complement flag (reverse-complemented
@@ -70,25 +77,29 @@ def kswv_u8_kernel(ref, enc, qoff, qdir, qcomp, qlen, toff, tdir, tlen,
     XSTOP threshold (break when reached; 1<<16 = none); minsc: XSUBO
     second-best floor (1<<16 = none, phase 1).
 
-    Returns int32[P, 6]: score, te, qe, score2, te2, saturated."""
+    Returns int32[P, 6]: score, te, qe, score2, te2, saturated
+    (saturated is identically 0 for the i16 class)."""
     P = qoff.shape[0]
     N, L = enc.shape
+    STRIPES = 16 if u8 else 8
     shift = max(mat_b, 1)           # -min(mat): mismatch/ambig penalty
     maxsc = max(mat_a, 1)
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
 
-    # Precision tiering: cell values are u8-range (<= 255 + shift) and the
-    # F-scan offsets add at most (Qmax-1)*e_ins plus the segmented-cummax
-    # stripe offset, so the (P, Q) grids fit int16 whenever a power-of-two
-    # stripe spacing H16 with 15*H16 + H16-1 < 32768 exists — int16 element
-    # ops run ~9x int32 on the VPU (see ops/bsw.py).  Static check; the
-    # int32 fallback keeps exotic scoring configs correct.
-    rng_val = 255 + shift + (Qmax - 1) * e_ins + oe_ins
+    # Precision tiering: u8-class cell values are <= 255 + shift, i16-class
+    # values <= Qmax*mat_a; the F-scan offsets add at most (Qmax-1)*e_ins
+    # plus the segmented-cummax stripe offset, so the (P, Q) grids fit
+    # int16 whenever a power-of-two stripe spacing H16 with
+    # STRIPES*H16 <= 32768 exists — int16 element ops run ~9x int32 on the
+    # VPU (see ops/bsw.py).  Static check; the int32 fallback keeps exotic
+    # scoring configs correct.
+    cell_max = (255 + shift) if u8 else Qmax * maxsc
+    rng_val = cell_max + (Qmax - 1) * e_ins + oe_ins
     H16 = 1024
     while H16 <= rng_val:
         H16 <<= 1
-    use16 = H16 <= 2048
+    use16 = STRIPES * H16 <= 32768
     DT = jnp.int16 if use16 else I32
     HUGEv = jnp.asarray(H16 if use16 else int(HUGE), DT)
     NEGv = jnp.asarray(-8192 if use16 else int(NEGBIG), DT)
@@ -99,8 +110,9 @@ def kswv_u8_kernel(ref, enc, qoff, qdir, qcomp, qlen, toff, tdir, tlen,
     qc = enc_flat[jnp.clip(qpos, 0, N * L - 1)]
     qc = jnp.where(qcomp[:, None] & (qc < 4), 3 - qc, qc)
     qc = jnp.where(cols < qlen[:, None], qc, jnp.int32(5))  # 5 = pad col
-    slen = (qlen + 15) >> 4                                  # ceil(qlen/16)
-    qpad = slen << 4
+    sh4 = 4 if u8 else 3
+    slen = (qlen + STRIPES - 1) >> sh4                       # ceil(q/P)
+    qpad = slen << sh4
     valid = cols < qpad[:, None]                             # striped cols
     sid = jnp.where(valid, cols // jnp.maximum(slen, 1)[:, None], 0)
     qcN = qc.astype(DT)
@@ -131,9 +143,14 @@ def kswv_u8_kernel(ref, enc, qoff, qdir, qcomp, qlen, toff, tdir, tlen,
                                           jnp.asarray(mat_a, DT),
                                           jnp.asarray(-mat_b, DT))))
         Hs = jnp.concatenate([jnp.zeros((P, 1), DT), H[:, :-1]], axis=1)
-        # M = subsu8(addsu8(h, mat+shift), shift)
-        M = jnp.maximum(jnp.minimum(Hs + s + shift, 255) - shift, 0) \
-            .astype(DT)
+        if u8:
+            # M = subsu8(addsu8(h, mat+shift), shift)
+            M = jnp.maximum(jnp.minimum(Hs + s + shift, 255) - shift, 0) \
+                .astype(DT)
+        else:
+            # i16: raw signed add, no bias/floor (ksw_run_i16: addsi16;
+            # the +-32767 saturation is unreachable under the class caps)
+            M = (Hs + s).astype(DT)
         base = jnp.maximum(M, E)
         # pre-fixup cell: intra-stripe F only (segmented prefix max)
         u = jnp.where(valid, base - oe_ins + colsE + sidH, NEGv).astype(DT)
@@ -165,7 +182,8 @@ def kswv_u8_kernel(ref, enc, qoff, qdir, qcomp, qlen, toff, tdir, tlen,
         gmax = jnp.where(upd, imax, gmax)
         te = jnp.where(upd, i, te)
         Hmax = jnp.where(upd[:, None], hfin, Hmax)
-        brk = upd & ((gmax + shift >= 255) | (gmax >= endsc))
+        brk = upd & (((gmax + shift >= 255) if u8 else False)
+                     | (gmax >= endsc))
         rowstop = jnp.where(brk, i + 1, rowstop)
         alive = alive & ~brk
         return H, E, Hmax, rowmax, gmax, te, rowstop, alive
@@ -174,8 +192,12 @@ def kswv_u8_kernel(ref, enc, qoff, qdir, qcomp, qlen, toff, tdir, tlen,
     H, E, Hmax, rowmax, gmax, te, rowstop, alive = jax.lax.fori_loop(
         0, Tmax, row_body, st)
 
-    saturated = (gmax + shift >= 255) & do_lane
-    score = jnp.where(saturated, 255, gmax)
+    if u8:
+        saturated = (gmax + shift >= 255) & do_lane
+        score = jnp.where(saturated, 255, gmax)
+    else:
+        saturated = jnp.zeros((P,), bool)
+        score = gmax
     # qe: min query position among Hmax == max (incl. pad columns)
     hm = jnp.where(valid, Hmax.astype(I32), -1)
     mx = jnp.max(hm, axis=1)
@@ -233,102 +255,121 @@ class DeviceKswv:
     align_batch() takes per-problem descriptors into the device-resident
     read grid + doubled genome and returns the native ksw_align 7-tuple
     (score te qe score2 te2 tb qb) per problem, bit-identical to the
-    scalar path; 16-bit problems and u8-saturated lanes are re-run on the
-    native kernel."""
+    scalar path.  Both precision classes run on device (u8 = kswv512_u8,
+    i16 = kswv512_16 analogs); u8-saturated lanes emit the native
+    saturated shape unchanged (no rerun — see module docstring).  Only
+    problems beyond the descriptor caps (qlen > 512 / tlen > 2048, never
+    produced by mem_matesw's window rules, kswv.h:54-55) fall back to
+    the native scalar kernel."""
+
+    QCAP, TCAP = 512, 2048
 
     def __init__(self, dfm, opt):
         self.dfm = dfm
         self.opt = opt
         self.minsc = opt.min_seed_len * opt.a
 
+    def _two_phase(self, encj, desc, dev, u8: bool) -> np.ndarray:
+        """Run phase 0 + phase 1 for the selected problem indices in one
+        precision class; returns (len(dev), 7) result rows plus the
+        phase-0 saturation mask (u8 only)."""
+        from . import bucket_pow2, round_up
+        opt = self.opt
+        P = bucket_pow2(len(dev), 64)
+        # fixed shape ladders (not batch maxima): every distinct
+        # (P, Qmax, Tmax) is its own XLA compile, and rescue-window
+        # maxima vary chunk to chunk (see ops/bsw.py for the rationale)
+        qm = int(desc["qlen"][dev].max(initial=1))
+        tm = int(desc["tlen"][dev].max(initial=1))
+        Qmax = next(q for q in (64, 128, 160, 256, 512)
+                    if qm <= q) if qm <= 512 else round_up(qm, 128)
+        Tmax = next(t for t in (256, 512, 768, 1024, 1536, 2048)
+                    if tm <= t) if tm <= 2048 else round_up(tm, 256)
+
+        def pad(a, dt, fill=0):
+            v = np.full((P,), fill, dt)
+            v[: len(dev)] = a[dev]
+            return jnp.asarray(v)
+
+        qoff = pad(desc["qoff"], np.int32)
+        qdir = pad(desc["qdir"], np.int32, 1)
+        qcomp = pad(desc["qcomp"], bool)
+        qlen = pad(desc["qlen"], np.int32)
+        toff = pad(desc["toff"], np.int64)
+        tlen = pad(desc["tlen"], np.int32)
+        do = np.zeros((P,), bool)
+        do[: len(dev)] = True
+        doj = jnp.asarray(do)
+        ones = jnp.ones((P,), I32)
+        r0 = kswv_kernel(
+            self.dfm.ref, encj, qoff, qdir, qcomp, qlen, toff,
+            ones, tlen, ones * (1 << 16), doj,
+            Qmax, Tmax, self.minsc, opt.a, opt.b,
+            opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+            self.dfm.ref_packed, u8)
+        # phase 1: reversed prefixes, stop at the phase-0 score.  Its
+        # row count is bounded by the phase-0 END positions (te+1),
+        # typically a fraction of the rescue window — size its tile
+        # from them (one host sync; far cheaper than running phase 1
+        # over the full window rows)
+        score = r0[:, 0]
+        te = r0[:, 1]
+        qe = r0[:, 2]
+        sat = r0[:, 5] > 0
+        want = doj & ~sat & (score >= self.minsc) & (te >= 0) & (qe >= 0)
+        te_h, qe_h, want_h = jax.device_get((te, qe, want))
+        t1 = int(np.where(want_h, te_h + 1, 0).max(initial=1))
+        q1 = int(np.where(want_h, qe_h + 1, 0).max(initial=1))
+        Tmax1 = next(t for t in (128, 256, 512, 768, 1024, 1536, 2048)
+                     if t1 <= t) if t1 <= 2048 else round_up(t1, 256)
+        Qmax1 = next(q for q in (64, 128, 160, 256, 512)
+                     if q1 <= q) if q1 <= 512 else round_up(q1, 128)
+        r1 = kswv_kernel(
+            self.dfm.ref, encj,
+            qoff + qdir * qe, -qdir, qcomp,
+            jnp.where(want, qe + 1, 0),
+            toff + te.astype(jnp.int64), -ones,
+            jnp.where(want, te + 1, 0),
+            score, want,
+            Qmax1, Tmax1, 1 << 16, opt.a, opt.b,
+            opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+            self.dfm.ref_packed, u8)
+        r0h, r1h = jax.device_get((r0, r1))
+        nb = len(dev)
+        res = np.zeros((nb, 7), np.int32)
+        res[:, :5] = r0h[:nb, :5]
+        res[:, 5] = -1
+        res[:, 6] = -1
+        # saturated u8 lanes keep exactly the native shape (255, te, -1,
+        # -1, -1, -1, -1): ksw_u8 skips the qe/2nd-best scans at 255 and
+        # the degenerate reverse pass never confirms (ksw.cpp:219-231,
+        # 367-380 — there is NO i16 rerun in ksw_align2)
+        sat = r0h[:nb, 5] > 0
+        res[sat, 2:5] = -1
+        ok1 = (r1h[:nb, 0] == r0h[:nb, 0]) & (r0h[:nb, 0] >= self.minsc) \
+            & (r0h[:nb, 5] == 0) & (r0h[:nb, 1] >= 0) & (r0h[:nb, 2] >= 0)
+        res[ok1, 5] = r0h[:nb][ok1, 1] - r1h[:nb][ok1, 1]
+        res[ok1, 6] = r0h[:nb][ok1, 2] - r1h[:nb][ok1, 2]
+        return res, sat
+
     def align_batch(self, encj, desc: dict) -> np.ndarray:
         """desc arrays (length n): qoff (flat read-grid index), qdir,
         qcomp, qlen, toff (abs), tlen; u8 (bool: XBYTE class).
         Returns int32[n, 7]."""
-        from . import bucket_pow2, round_up
         n = len(desc["qoff"])
         out = np.zeros((n, 7), np.int32)
         out[:, 1:] = -1
         opt = self.opt
-        dev = np.nonzero(desc["u8"])[0]
-        host_idx = set(np.nonzero(~desc["u8"])[0].tolist())
-        if len(dev):
-            P = bucket_pow2(len(dev), 64)
-            # fixed shape ladders (not batch maxima): every distinct
-            # (P, Qmax, Tmax) is its own XLA compile, and rescue-window
-            # maxima vary chunk to chunk (see ops/bsw.py for the rationale)
-            qm = int(desc["qlen"][dev].max(initial=1))
-            tm = int(desc["tlen"][dev].max(initial=1))
-            Qmax = next(q for q in (64, 128, 160, 256, 512)
-                        if qm <= q) if qm <= 512 else round_up(qm, 128)
-            Tmax = next(t for t in (256, 512, 768, 1024, 1536, 2048)
-                        if tm <= t) if tm <= 2048 else round_up(tm, 256)
-
-            def pad(a, dt, fill=0):
-                v = np.full((P,), fill, dt)
-                v[: len(dev)] = a[dev]
-                return jnp.asarray(v)
-
-            qoff = pad(desc["qoff"], np.int32)
-            qdir = pad(desc["qdir"], np.int32, 1)
-            qcomp = pad(desc["qcomp"], bool)
-            qlen = pad(desc["qlen"], np.int32)
-            toff = pad(desc["toff"], np.int64)
-            tlen = pad(desc["tlen"], np.int32)
-            do = np.zeros((P,), bool)
-            do[: len(dev)] = True
-            doj = jnp.asarray(do)
-            ones = jnp.ones((P,), I32)
-            r0 = kswv_u8_kernel(
-                self.dfm.ref, encj, qoff, qdir, qcomp, qlen, toff,
-                ones, tlen, ones * (1 << 16), doj,
-                Qmax, Tmax, self.minsc, opt.a, opt.b,
-                opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
-                self.dfm.ref_packed)
-            # phase 1: reversed prefixes, stop at the phase-0 score.  Its
-            # row count is bounded by the phase-0 END positions (te+1),
-            # typically a fraction of the rescue window — size its tile
-            # from them (one host sync; far cheaper than running phase 1
-            # over the full window rows)
-            score = r0[:, 0]
-            te = r0[:, 1]
-            qe = r0[:, 2]
-            sat = r0[:, 5] > 0
-            want = doj & ~sat & (score >= self.minsc) & (te >= 0) & (qe >= 0)
-            te_h, qe_h, want_h = jax.device_get((te, qe, want))
-            t1 = int(np.where(want_h, te_h + 1, 0).max(initial=1))
-            q1 = int(np.where(want_h, qe_h + 1, 0).max(initial=1))
-            Tmax1 = next(t for t in (128, 256, 512, 768, 1024, 1536, 2048)
-                         if t1 <= t) if t1 <= 2048 else round_up(t1, 256)
-            Qmax1 = next(q for q in (64, 128, 160, 256, 512)
-                         if q1 <= q) if q1 <= 512 else round_up(q1, 128)
-            r1 = kswv_u8_kernel(
-                self.dfm.ref, encj,
-                qoff + qdir * qe, -qdir, qcomp,
-                jnp.where(want, qe + 1, 0),
-                toff + te.astype(jnp.int64), -ones,
-                jnp.where(want, te + 1, 0),
-                score, want,
-                Qmax1, Tmax1, 1 << 16, opt.a, opt.b,
-                opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
-                self.dfm.ref_packed)
-            r0h, r1h = jax.device_get((r0, r1))
-            nb = len(dev)
-            res = np.zeros((nb, 7), np.int32)
-            res[:, 0] = r0h[:nb, 0]
-            res[:, 1] = r0h[:nb, 1]
-            res[:, 2] = r0h[:nb, 2]
-            res[:, 3] = r0h[:nb, 3]
-            res[:, 4] = r0h[:nb, 4]
-            res[:, 5] = -1
-            res[:, 6] = -1
-            ok1 = (r1h[:nb, 0] == r0h[:nb, 0]) & (r0h[:nb, 0] >= self.minsc) \
-                & (r0h[:nb, 5] == 0) & (r0h[:nb, 1] >= 0) & (r0h[:nb, 2] >= 0)
-            res[ok1, 5] = r0h[:nb][ok1, 1] - r1h[:nb][ok1, 1]
-            res[ok1, 6] = r0h[:nb][ok1, 2] - r1h[:nb][ok1, 2]
-            out[dev] = res
-            # saturated lanes: exact via native (score==255 -> i16 rerun)
-            host_idx.update(dev[np.nonzero(r0h[:nb, 5])[0]].tolist())
+        in_cap = (desc["qlen"] <= self.QCAP) & (desc["tlen"] <= self.TCAP)
+        host_idx = set(np.nonzero(~in_cap)[0].tolist())
+        dev_u8 = np.nonzero(desc["u8"] & in_cap)[0]
+        dev_i16 = np.nonzero(~desc["u8"] & in_cap)[0]
+        if len(dev_u8):
+            res, _ = self._two_phase(encj, desc, dev_u8, u8=True)
+            out[dev_u8] = res
+        if len(dev_i16):
+            res, _ = self._two_phase(encj, desc, dev_i16, u8=False)
+            out[dev_i16] = res
         if host_idx:
             from ..native import ksw_align
             KSW_XBYTE, KSW_XSTOP = 0x10000, 0x20000

@@ -172,6 +172,65 @@ def test_device_kswv_matches_native(fm, backend):
         assert got[i].tolist() == list(want), (i, got[i].tolist(), want)
 
 
+def test_device_kswv_i16_matches_native(fm, backend):
+    """Device i16 rescue class (XBYTE off: l_ms*a >= 250) == native
+    ksw_align on long random windows (kswv512_16 / ksw_i16 semantics)."""
+    import jax.numpy as jnp
+    from bwamem2_tpu.native import ksw_align
+    from bwamem2_tpu.ops.kswv import DeviceKswv
+
+    opt = MemOptions().finalize()
+    rng = np.random.default_rng(31)
+    L = 512
+    n = 40
+    enc = np.full((n, L), 4, np.int8)
+    qoff = np.zeros(n, np.int32)
+    qdir = np.zeros(n, np.int32)
+    qcomp = np.zeros(n, bool)
+    qlen = np.zeros(n, np.int32)
+    toff = np.zeros(n, np.int64)
+    tlen = np.zeros(n, np.int32)
+    ref = fm.ref_string
+    for i in range(n):
+        ql = int(rng.integers(250, 513))      # i16 class: l_ms*a >= 250
+        tl = int(rng.integers(300, 2049))
+        tb = int(rng.integers(0, fm.l_pac - tl))
+        if i % 2 == 0:
+            q = ref[tb + 11: tb + 11 + ql].copy()
+            mut = rng.integers(0, ql, 12)
+            q[mut] = (q[mut] + 1) % 4
+        else:
+            q = rng.integers(0, 4, ql).astype(np.uint8)
+        if i % 5 == 0:
+            q[rng.integers(0, ql)] = 4
+        enc[i, :ql] = q
+        rev = i % 3 == 0
+        qoff[i] = i * L + (ql - 1 if rev else 0)
+        qdir[i] = -1 if rev else 1
+        qcomp[i] = rev
+        qlen[i] = ql
+        toff[i] = tb
+        tlen[i] = tl
+    desc = dict(qoff=qoff, qdir=qdir, qcomp=qcomp, qlen=qlen, toff=toff,
+                tlen=tlen, u8=np.zeros(n, bool))
+    kw = DeviceKswv(backend.dfm, opt)
+    got = kw.align_batch(jnp.asarray(enc), desc)
+
+    mat = np.array(opt.mat, np.int8)
+    KSW_XSUBO, KSW_XSTART = 0x40000, 0x80000
+    for i in range(n):
+        ql = int(qlen[i])
+        q = enc[i, :ql].astype(np.uint8)
+        if qdir[i] < 0:
+            q = np.array([3 - c if c < 4 else 4 for c in q[::-1]], np.uint8)
+        t = np.ascontiguousarray(ref[toff[i]: toff[i] + tlen[i]])
+        want = ksw_align(q, t, mat, opt.o_del, opt.e_del, opt.o_ins,
+                         opt.e_ins,
+                         KSW_XSUBO | KSW_XSTART
+                         | (opt.min_seed_len * opt.a))
+        assert got[i].tolist() == list(want), (i, got[i].tolist(), want)
+
+
 def test_end_to_end_pe_device_backend_golden(fm, backend):
     """PE with the device backend (incl. batched mate rescue) == golden."""
     from bwamem2_tpu.options import MEM_F_PE
