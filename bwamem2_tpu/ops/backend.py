@@ -66,8 +66,7 @@ class DeviceBackend:
         self._device = device
         self.dfm = DeviceFMIndex.from_host(fm, device=device, lut=lut)
         # int32 interval arithmetic is exact when the doubled genome fits
-        # (and implies the occ1 table exists)
-        self.small_index = fm.l_pac < DeviceFMIndex.OCC1_MAX_PAC
+        self.small_index = fm.l_pac < DeviceFMIndex.SMALL_MAX_PAC
         self.bucket = bucket
         self.use_device_bsw = use_device_bsw
         self._bsw = None

@@ -1,23 +1,36 @@
 """Device-resident FM-index and the batched LF-mapping primitives.
 
 Layout (HBM):
-  occ4      int32[nblocks, 16]  one 64-byte row per 64-char BWT block:
-                                [cp_lo[4] | cp_hi[4] | oh_hi[4] | oh_lo[4]]
-                                (checkpoint counts split into 32-bit halves,
-                                one-hot BWT bitmask halves, per base)
-  counts    int64[5]            cumulative char counts (+1 sentinel shift)
-  sa_ms/ls  int32/uint32        8x-compressed suffix array
-  ref       uint8[2*l_pac]      doubled genome (the .0123 buffer)
+  occp      int32[nblocks, 9]  one 36-byte row per 64-char BWT block:
+                               [cp_lo[4] | cp_hi_pack | code[4]]
+                               cp_lo    = low 32 bits of the 4 checkpoint
+                                          counts (GET_OCC base)
+                               cp_hi    = the counts' high bits, one byte
+                                          per base packed into one lane
+                               code[4]  = the block's 64 BWT chars as 2-bit
+                                          codes, 16 per uint32, LSB-first
+  counts    int64[5]           cumulative char counts (+1 sentinel shift)
+  sa_ms/ls  int32/uint32       8x-compressed suffix array
+  ref       uint8[2*l_pac]     doubled genome (the .0123 buffer)
 
-The reference keeps CP_OCC as an array-of-structs of 64-byte blocks sized for
-x86 cache lines (FMI_search.h:54-58).  The TPU twist: XLA lowers a gather to
-~the same cost per ROW whether the row is 1 or 16 int32s (measured ~330M
-rows/s at width 4-16 vs ~130M at width 1 on v5e), so the entire block —
-counts and bitmasks for all 4 bases — is packed into ONE 16-lane int32 row
-and each occ() query is a single gather + vector popcounts.  occ/backward-ext
-semantics mirror GET_OCC (FMI_search.h:66-73) and backwardExt
-(FMI_search.cpp:1025-1052) exactly, including 64-bit counts (carried as two
-int32 halves so the layout also serves >2^31-bp genomes).
+The reference keeps CP_OCC as 64-byte array-of-structs blocks sized for x86
+cache lines: 4 int64 counts + 4 uint64 one-hot masks per 64 chars, 1 byte
+per indexed char (FMI_search.h:54-58).  The TPU reformulation packs the
+same information into a 36-byte row — 0.56 bytes/char — by storing the BWT
+chars as 2-bit codes instead of 4 one-hot planes and deriving per-base
+membership masks arithmetically (3 VPU ops + popcount per 16-char word vs
+1 popcount, a trade that is pure win on a machine whose occ() cost is HBM
+gather rows, not ALU).  Each occ() query is still ONE row gather; the table
+is 1.8-3.6x smaller than the round-2 split layout (occ4+occ1), which both
+shrinks the random-gather working set and makes a human-scale (3.1 Gbp)
+index fit one chip's HBM with room for kernel working sets.
+
+occ/backward-ext semantics mirror GET_OCC (FMI_search.h:66-73) and
+backwardExt (FMI_search.cpp:1025-1052) exactly, including 64-bit counts.
+The sentinel's block slot stores code 0 (its one-hot planes are all zero in
+the reference layout); occ() subtracts the phantom 'A' when the sentinel
+falls inside the counted prefix — checkpoint counts are exact by
+construction, so the correction is purely in-block.
 """
 
 from __future__ import annotations
@@ -31,15 +44,50 @@ import numpy as np
 
 from ..index.fmindex import FMIndex
 
+# 16-bit -> 32-bit "reverse and spread" table: bit (15-t) of the input (the
+# one-hot convention puts the block's first char at the TOP bit,
+# FMI_search.cpp:218-252) lands at bit 2t of the output (codes are
+# LSB-first so char extraction is a plain shift by 2*(j&15)).
+_SPREAD16: np.ndarray | None = None
+
+
+def _spread16() -> np.ndarray:
+    global _SPREAD16
+    if _SPREAD16 is None:
+        v = np.arange(1 << 16, dtype=np.uint32)
+        out = np.zeros(1 << 16, np.uint32)
+        for t in range(16):
+            out |= ((v >> (15 - t)) & 1) << (2 * t)
+        _SPREAD16 = out
+    return _SPREAD16
+
+
+def pack_occ_rows(cp_count: np.ndarray, one_hot: np.ndarray) -> np.ndarray:
+    """Host-side build of the packed occ table from the index file's
+    checkpoint layout (cp_count int64[nb,4], one_hot uint64[nb,4])."""
+    nb = cp_count.shape[0]
+    occp = np.zeros((nb, 9), np.int32)
+    occp[:, 0:4] = (cp_count & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    hi = (cp_count >> 32).astype(np.int32)   # < 256 for any genome < 2^40
+    occp[:, 4] = hi[:, 0] | (hi[:, 1] << 8) | (hi[:, 2] << 16) \
+        | (hi[:, 3] << 24)
+    spread = _spread16()
+    # code planes: lo bit set for chars 1,3; hi bit for chars 2,3
+    lo64 = one_hot[:, 1] | one_hot[:, 3]
+    hi64 = one_hot[:, 2] | one_hot[:, 3]
+    for wi in range(4):
+        sh = np.uint64(48 - 16 * wi)
+        sub_lo = ((lo64 >> sh) & np.uint64(0xFFFF)).astype(np.uint16)
+        sub_hi = ((hi64 >> sh) & np.uint64(0xFFFF)).astype(np.uint16)
+        occp[:, 5 + wi] = (spread[sub_lo]
+                           | (spread[sub_hi] << 1)).view(np.int32)
+    return occp
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class DeviceFMIndex:
-    occ4: jax.Array       # int32[nblocks, 16]
-    occ1: jax.Array       # int32[nblocks*4, 4] per-(block,char) rows
-    #                       [cp_lo, cp_hi, oh_hi, oh_lo] — a narrower gather
-    #                       for the single-char hot path; built only for
-    #                       genomes < OCC1_MAX_PAC bp (doubles table memory)
+    occp: jax.Array       # int32[nblocks, 9] packed block rows (see above)
     counts: jax.Array     # int64[5]
     sa_ms: jax.Array      # int8[(n>>3)+1] (sign-extends at use)
     sa_ls: jax.Array      # uint32[(n>>3)+1]
@@ -48,44 +96,33 @@ class DeviceFMIndex:
     lut_k: jax.Array      # int64[4^K] K-mer interval starts (or size-1 dummy)
     lut_s: jax.Array      # int64[4^K] K-mer interval sizes
     ref_packed: bool = False   # static: 4 chars/byte (human-scale HBM)
-    # genome-bucket index sharding (SURVEY §5.8): when set, occ4/sa_ms/sa_ls
+    # genome-bucket index sharding (SURVEY §5.8): when set, occp/sa_ms/sa_ls
     # hold only the LOCAL row shard (contiguous blocks, axis-index order)
     # and every row fetch is the distributed gather in _dist_rows.  Code
     # using a sharded index must run inside shard_map over this axis.
     shard_axis: str | None = None
 
-    OCC1_MAX_PAC = 1 << 30
+    # int32 interval arithmetic (occ_one32 / lf_step32) is exact when the
+    # doubled genome fits int32
+    SMALL_MAX_PAC = 1 << 30
     # pack the doubled genome 4 chars/byte above this (2*l_pac): at human
     # scale the u8 ref alone is 6.2GB; packed it is 1.55GB and the whole
     # index fits a 16GB v5e with room for working sets
     REF_PACK_MIN = 1 << 31
 
     def tree_flatten(self):
-        return ((self.occ4, self.occ1, self.counts, self.sa_ms, self.sa_ls,
+        return ((self.occp, self.counts, self.sa_ms, self.sa_ls,
                  self.sentinel, self.ref, self.lut_k, self.lut_s),
                 (self.ref_packed, self.shard_axis))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        if not isinstance(aux, tuple):   # pre-sharding pytrees
-            aux = (aux, None)
         return cls(*children, ref_packed=aux[0], shard_axis=aux[1])
 
     @classmethod
     def from_host(cls, fm: FMIndex, device=None,
                   lut: tuple | None = None) -> "DeviceFMIndex":
-        cp = fm.cp_count.astype(np.int64)
-        oh = fm.one_hot
-        cp_lo = (cp & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
-        cp_hi = (cp >> 32).astype(np.int32)
-        oh_hi = (oh >> np.uint64(32)).astype(np.uint32).view(np.int32)
-        oh_lo = (oh & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
-        occ4 = np.concatenate([cp_lo, cp_hi, oh_hi, oh_lo], axis=1)
-        if fm.l_pac < cls.OCC1_MAX_PAC:
-            occ1 = np.stack([cp_lo, cp_hi, oh_hi, oh_lo],
-                            axis=2).reshape(-1, 4)
-        else:
-            occ1 = np.zeros((1, 4), np.int32)
+        occp = pack_occ_rows(fm.cp_count.astype(np.int64), fm.one_hot)
         put = partial(jax.device_put, device=device)
         lut_k = lut[0] if lut else np.zeros(1, np.int64)
         lut_s = lut[1] if lut else np.zeros(1, np.int64)
@@ -99,8 +136,7 @@ class DeviceFMIndex:
             ref = (r[:, 0] | (r[:, 1] << 2) | (r[:, 2] << 4)
                    | (r[:, 3] << 6)).astype(np.uint8)
         return cls(
-            occ4=put(occ4),
-            occ1=put(occ1),
+            occp=put(occp),
             counts=put(fm.counts.astype(np.int64)),
             sa_ms=put(fm.sa_ms_byte.astype(np.int8)),
             sa_ls=put(fm.sa_ls_word.astype(np.uint32)),
@@ -119,23 +155,6 @@ def take_counts(counts, a, base: int = 0):
                      jnp.where(a == 1, counts[base + 1],
                                jnp.where(a == 2, counts[base + 2],
                                          counts[base + 3])))
-
-
-def _top_masks(y):
-    """32-bit halves of the 64-bit 'top y bits' mask (one_hot_mask_array,
-    FMI_search.cpp:386-394).  y: int32 array in [0, 64)."""
-    y = y.astype(jnp.int32)
-    yh = jnp.clip(y, 0, 32)
-    yl = jnp.clip(y - 32, 0, 32)
-    full = jnp.uint32(0xFFFFFFFF)
-    # (full << (32 - y)) with y==0 -> 0, y==32 -> full, avoiding shift-by-32
-    hi = jnp.where(yh == 0, jnp.uint32(0),
-                   full << jnp.uint32(32 - jnp.clip(yh, 1, 32)))
-    hi = jnp.where(yh == 32, full, hi)
-    lo = jnp.where(yl == 0, jnp.uint32(0),
-                   full << jnp.uint32(32 - jnp.clip(yl, 1, 32)))
-    lo = jnp.where(yl == 32, full, lo)
-    return hi, lo
 
 
 def _u32(x):
@@ -185,14 +204,52 @@ def _fetch_rows(dfm: DeviceFMIndex, tab, idx):
 
 
 def _row(dfm: DeviceFMIndex, pos):
-    """Fetch the packed 16-lane block row for each position: ONE gather.
-    Returns (cp int64[...,4], hi uint32[...,4], lo uint32[...,4], y)."""
+    """Fetch the packed block row for each position: ONE gather.
+    Returns (row int32[..., 9], y int32 offset-in-block)."""
     blk = (pos >> 6).astype(jnp.int32)
     y = (pos & 63).astype(jnp.int32)
-    row = _fetch_rows(dfm, dfm.occ4, blk)        # (..., 16)
-    cp = (_u32(row[..., 0:4]).astype(jnp.int64)
-          + (row[..., 4:8].astype(jnp.int64) << 32))
-    return cp, _u32(row[..., 8:12]), _u32(row[..., 12:16]), y
+    return _fetch_rows(dfm, dfm.occp, blk), y
+
+
+_W_OFFS = np.arange(4, dtype=np.int32) * 16   # code-word start offsets
+
+
+def _prefix_masks(y):
+    """Per code word, the mask covering the first clip(y - 16*wi, 0, 16)
+    chars (bits [0, 2*nfull)).  y: int32[...] -> uint32[..., 4]."""
+    nfull = jnp.clip(y[..., None] - _W_OFFS, 0, 16)
+    full = jnp.uint32(0xFFFFFFFF)
+    m = full >> (jnp.uint32(32) - (nfull.astype(jnp.uint32) << 1))
+    return jnp.where(nfull == 0, jnp.uint32(0), m)
+
+
+def _match_c(words, c):
+    """Per code word, even-bit mask of chars equal to per-lane c.
+    words: uint32[..., 4], c: int32[...] -> uint32[..., 4]."""
+    pat = (c.astype(jnp.uint32) * jnp.uint32(0x55555555))[..., None]
+    m = words ^ pat
+    return ~(m | (m >> 1)) & jnp.uint32(0x55555555)
+
+
+def _inblock_count(words, y, c):
+    """# of chars equal to c among the block's first y chars.  int32."""
+    z = _match_c(words, c) & _prefix_masks(y)
+    return jax.lax.population_count(z).sum(axis=-1).astype(jnp.int32)
+
+
+def _sent_corr(dfm: DeviceFMIndex, pos, y, c):
+    """1 where the sentinel slot (stored as code 0) falls inside the
+    counted prefix [block_start, pos) and c == 0, else 0.  int32."""
+    sent = dfm.sentinel
+    return ((c == 0) & ((pos - y.astype(pos.dtype)) <= sent)
+            & (sent < pos)).astype(jnp.int32)
+
+
+def _cp64(row, c):
+    """Per-lane 64-bit checkpoint count for base c from a packed row."""
+    lo = _u32(_sel4(row[..., 0:4], c)).astype(jnp.int64)
+    hi = (row[..., 4] >> (c << 3)) & 0xFF
+    return lo + (hi.astype(jnp.int64) << 32)
 
 
 def _sel4(v, c):
@@ -204,42 +261,22 @@ def _sel4(v, c):
 
 def occ_one(dfm: DeviceFMIndex, pos, c):
     """occ(pos, c) for one char per lane: # of c in BWT[0:pos).
-
-    Small genomes keep a per-(block,char) table so this is one 16-byte row
-    gather + two popcounts (W=4 gathers are ~15% faster than W=16 and move
-    4x fewer bytes); otherwise one 64-byte block row gather + selects.
-    Sharded indexes always take the occ4 path (occ1 is a small-genome-only
-    duplicate; sharding exists for genomes where it is never built)."""
-    if dfm.occ1.shape[0] > 1 and dfm.shard_axis is None:
-        blk = (pos >> 6).astype(jnp.int32)
-        y = (pos & 63).astype(jnp.int32)
-        row = dfm.occ1[(blk << 2) + c]
-        cp = (_u32(row[..., 0]).astype(jnp.int64)
-              + (row[..., 1].astype(jnp.int64) << 32))
-        mh, ml = _top_masks(y)
-        h = jax.lax.population_count(_u32(row[..., 2]) & mh)
-        l = jax.lax.population_count(_u32(row[..., 3]) & ml)
-        return cp + h.astype(jnp.int64) + l.astype(jnp.int64)
-    cp, hi, lo, y = _row(dfm, pos)
-    mh, ml = _top_masks(y)
-    base = _sel4(cp, c)
-    h = jax.lax.population_count(_sel4(hi, c) & mh).astype(jnp.int64)
-    l = jax.lax.population_count(_sel4(lo, c) & ml).astype(jnp.int64)
-    return base + h + l
+    One 36-byte row gather + 4 word popcounts (GET_OCC equivalent)."""
+    row, y = _row(dfm, pos)
+    words = _u32(row[..., 5:9])
+    n = _inblock_count(words, y, c) - _sent_corr(dfm, pos, y, c)
+    return _cp64(row, c) + n.astype(jnp.int64)
 
 
 def occ_one32(dfm: DeviceFMIndex, pos, c):
     """int32 occ(pos, c) for genomes whose doubled length fits int32:
-    the cp_hi limb is identically zero, so the count is the low int32 word
-    + popcounts — same gather, half the loop-state width for callers that
-    carry (k, s) through long walks."""
-    blk = (pos >> 6)
-    y = (pos & 63)
-    row = dfm.occ1[(blk << 2) + c]
-    mh, ml = _top_masks(y)
-    h = jax.lax.population_count(_u32(row[..., 2]) & mh).astype(jnp.int32)
-    l = jax.lax.population_count(_u32(row[..., 3]) & ml).astype(jnp.int32)
-    return row[..., 0] + h + l
+    the cp high byte is identically zero, so the count is the low int32
+    lane + in-block popcounts — same gather, half the loop-state width for
+    callers that carry (k, s) through long walks."""
+    row, y = _row(dfm, pos)
+    words = _u32(row[..., 5:9])
+    n = _inblock_count(words, y, c) - _sent_corr(dfm, pos, y, c)
+    return _sel4(row[..., 0:4], c) + n
 
 
 def lf_step32(dfm: DeviceFMIndex, counts32, k, s, a):
@@ -252,11 +289,27 @@ def lf_step32(dfm: DeviceFMIndex, counts32, k, s, a):
 
 def occ_all4(dfm: DeviceFMIndex, pos):
     """occ(pos, c) for all 4 chars per lane -> (..., 4) int64.  One gather."""
-    cp, hi, lo, y = _row(dfm, pos)
-    mh, ml = _top_masks(y)
-    h = jax.lax.population_count(hi & mh[..., None]).astype(jnp.int64)
-    l = jax.lax.population_count(lo & ml[..., None]).astype(jnp.int64)
-    return cp + h + l
+    row, y = _row(dfm, pos)
+    words = _u32(row[..., 5:9])                      # (..., 4)
+    pmask = _prefix_masks(y)                         # (..., 4)
+    lo = words & jnp.uint32(0x55555555)              # plane: code bit 0
+    hi = (words >> 1) & jnp.uint32(0x55555555)       # plane: code bit 1
+    ones = jnp.uint32(0x55555555)
+    n = []
+    for c in range(4):
+        zlo = lo if (c & 1) else lo ^ ones
+        zhi = hi if (c & 2) else hi ^ ones
+        z = zlo & zhi & pmask
+        n.append(jax.lax.population_count(z).sum(axis=-1))
+    n = jnp.stack(n, axis=-1).astype(jnp.int64)      # (..., 4)
+    sent = dfm.sentinel
+    corr = (((pos - y.astype(pos.dtype)) <= sent)
+            & (sent < pos)).astype(jnp.int64)
+    n = n.at[..., 0].add(-corr)                      # phantom 'A' at sentinel
+    lo4 = _u32(row[..., 0:4]).astype(jnp.int64)
+    hi4 = ((row[..., 4:5] >> (jnp.arange(4, dtype=jnp.int32) << 3))
+           & 0xFF).astype(jnp.int64) << 32
+    return lo4 + hi4 + n
 
 
 def lf_step(dfm: DeviceFMIndex, k, s, a):
@@ -290,26 +343,28 @@ def backward_ext_full(dfm: DeviceFMIndex, k, l, s, a):
 
 def bwt_char_occ(dfm: DeviceFMIndex, pos):
     """(BWT char at pos (4 = sentinel), occ(pos, that char)) in ONE gather —
-    the fused LF-walk step of SA resolution."""
-    cp, hi, lo, y = _row(dfm, pos)
-    in_hi = y < 32
-    sh = jnp.where(in_hi, 31 - y, 63 - y).astype(jnp.uint32)
-    word = jnp.where(in_hi[..., None], hi, lo)
-    bits = (word >> sh[..., None]) & jnp.uint32(1)
-    c = jnp.argmax(bits, axis=-1).astype(jnp.int32)
-    is_set = jnp.max(bits, axis=-1) > 0
-    c = jnp.where(is_set, c, jnp.int32(4))
-    cc = jnp.where(is_set, c, 0)
-    mh, ml = _top_masks(y)
-    occ = (_sel4(cp, cc)
-           + jax.lax.population_count(_sel4(hi, cc) & mh).astype(jnp.int64)
-           + jax.lax.population_count(_sel4(lo, cc) & ml).astype(jnp.int64))
+    the fused LF-walk step of SA resolution.  With stored codes the char is
+    a direct 2-bit extract; only the sentinel slot needs the identity
+    check (its slot stores code 0)."""
+    row, y = _row(dfm, pos)
+    words = _u32(row[..., 5:9])
+    word = _sel4(words, y >> 4)
+    code = ((word >> ((y & 15).astype(jnp.uint32) << 1)) & 3) \
+        .astype(jnp.int32)
+    is_sent = pos == dfm.sentinel
+    c = jnp.where(is_sent, jnp.int32(4), code)
+    n = _inblock_count(words, y, code) - _sent_corr(dfm, pos, y, code)
+    occ = _cp64(row, code) + n.astype(jnp.int64)
     return c, occ
 
 
 def bwt_char(dfm: DeviceFMIndex, pos):
-    """BWT char at pos from the one-hot halves (4 = sentinel)."""
-    return bwt_char_occ(dfm, pos)[0]
+    """BWT char at pos from the stored codes (4 = sentinel)."""
+    row, y = _row(dfm, pos)
+    word = _sel4(_u32(row[..., 5:9]), y >> 4)
+    code = ((word >> ((y & 15).astype(jnp.uint32) << 1)) & 3) \
+        .astype(jnp.int32)
+    return jnp.where(pos == dfm.sentinel, jnp.int32(4), code)
 
 
 def take_ref(ref, pos, packed: bool):

@@ -15,7 +15,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .device_index import DeviceFMIndex, _fetch_rows, bwt_char, occ_one
+from .device_index import DeviceFMIndex, _fetch_rows, bwt_char_occ, take_counts
 
 
 @partial(jax.jit, static_argnums=())
@@ -28,11 +28,12 @@ def sa_lookup_kernel(dfm: DeviceFMIndex, pos: jax.Array) -> jax.Array:
 
     def step_fn(st):
         done, sp, offset, hit_sentinel = st
-        b = bwt_char(dfm, sp)
+        # fused (char, occ) from ONE packed-row gather per lane-step
+        b, occ = bwt_char_occ(dfm, sp)
         sent = ~done & (b == 4)
         hit_sentinel = hit_sentinel | sent
         bc = jnp.where(b == 4, 0, b).astype(jnp.int32)
-        sp2 = dfm.counts[bc] + occ_one(dfm, sp, bc)
+        sp2 = take_counts(dfm.counts, bc) + occ
         step = ~done & ~sent
         sp = jnp.where(step, sp2, sp)
         offset = jnp.where(step, offset + 1, offset)

@@ -6,7 +6,7 @@ compressed SA 3.9 GB — together they drown a 16 GB v5e once kernel working
 sets are added.  This module shards the two big tables by CONTIGUOUS ROW
 RANGE ("genome bucket") over a mesh axis:
 
-  occ4   int32[nblocks, 16]  -> rows split across devices (axis order)
+  occp   int32[nblocks, 9]   -> rows split across devices (axis order)
   sa_ms  int8 [(n>>3)+1]     -> same
   sa_ls  uint32[(n>>3)+1]    -> same
   counts / sentinel / ref / lut stay replicated (ref is 2-bit packed at
@@ -43,7 +43,7 @@ def _pad_rows(a: np.ndarray, d: int) -> np.ndarray:
 
 def shard_index(mesh: Mesh, dfm: DeviceFMIndex,
                 axis: str = "data") -> DeviceFMIndex:
-    """Re-lay a (host or device) DeviceFMIndex with occ4/sa_ms/sa_ls
+    """Re-lay a (host or device) DeviceFMIndex with occp/sa_ms/sa_ls
     sharded along `axis` and everything else replicated.  The result's
     kernels must run inside shard_map over the same mesh axis."""
     d = mesh.shape[axis]
@@ -54,8 +54,7 @@ def shard_index(mesh: Mesh, dfm: DeviceFMIndex,
         return jax.device_put(_pad_rows(np.asarray(x), d), row_sh)
 
     return DeviceFMIndex(
-        occ4=put_sharded(dfm.occ4),
-        occ1=jax.device_put(np.zeros((1, 4), np.int32), rep),  # occ4 path
+        occp=put_sharded(dfm.occp),
         counts=jax.device_put(np.asarray(dfm.counts), rep),
         sa_ms=put_sharded(dfm.sa_ms),
         sa_ls=put_sharded(dfm.sa_ls),
@@ -72,7 +71,7 @@ def index_specs(dfm: DeviceFMIndex, axis: str = "data") -> DeviceFMIndex:
     """The PartitionSpec pytree matching shard_index's layout (for
     shard_map in_specs)."""
     return DeviceFMIndex(
-        occ4=P(axis), occ1=P(), counts=P(), sa_ms=P(axis), sa_ls=P(axis),
+        occp=P(axis), counts=P(), sa_ms=P(axis), sa_ls=P(axis),
         sentinel=P(), ref=P(), lut_k=P(), lut_s=P(),
         ref_packed=dfm.ref_packed, shard_axis=axis)
 

@@ -1,7 +1,7 @@
 """Genome-bucket index sharding: bit-identity vs the replicated index.
 
 Runs on the virtual 8-device CPU mesh (conftest).  The sharded layout
-splits occ4/sa_ms/sa_ls by contiguous row range over the mesh axis and
+splits occp/sa_ms/sa_ls by contiguous row range over the mesh axis and
 fetches rows with all_gather + local-gather + psum_scatter
 (ops.device_index._dist_rows); every result must equal the replicated
 path exactly — same gathers, same arithmetic, different transport.
@@ -103,8 +103,8 @@ def test_seed_extend_sharded_index_bitidentical(fm, dfm, mesh):
 def test_shard_memory_split(fm, dfm, mesh):
     """Each device holds ~1/8 of the sharded tables (the capacity story)."""
     sdfm = shard_index(mesh, dfm)
-    total = dfm.occ4.size * 4 + dfm.sa_ms.size + dfm.sa_ls.size * 4
-    shards = sdfm.occ4.addressable_shards
+    total = dfm.occp.size * 4 + dfm.sa_ms.size + dfm.sa_ls.size * 4
+    shards = sdfm.occp.addressable_shards
     assert len(shards) == 8
     per_dev = shards[0].data.size * 4
     assert per_dev <= total // 8 + 64 * 4
