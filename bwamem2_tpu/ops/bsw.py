@@ -463,9 +463,13 @@ class DeviceBSW:
             # row loop runs T iterations for every lane in the tile
             buckets = [((Q, T), sel.tolist())
                        for Q, T, sel in t_classes(qls, tls, dev_idx)]
+        from .bsw_pallas import bsw_desc_pallas, pallas_ok
+        use_pallas = pallas_ok()
         for (Q, T), idxs in buckets:
             P = bucket_pow2(len(idxs), 128)
             if use_desc:
+                if use_pallas:
+                    P = round_up(P, 128)
                 L = self.encj.shape[1]
                 qoff = np.zeros((P,), np.int32)
                 qdir = np.zeros((P,), np.int32)
@@ -483,15 +487,19 @@ class DeviceBSW:
                     tdir[r] = p.tdir
                     tlen[r] = tls[i]
                     h0[r] = p.h0
-                res = bsw_desc_kernel(
-                    self.dfm.ref, self.encj, jnp.asarray(qoff),
-                    jnp.asarray(qdir), jnp.asarray(qlen), jnp.asarray(toff),
-                    jnp.asarray(tdir), jnp.asarray(tlen), jnp.asarray(h0),
-                    jnp.full((P,), w, np.int32), Q, T,
-                    opt.a, opt.b, opt.o_del, opt.e_del, opt.o_ins,
-                    opt.e_ins, opt.zdrop, end_bonus, self.max_sc,
-                    self.dfm.ref_packed,
-                    h0_cap_bucket(int(h0[: len(idxs)].max(initial=0))))
+                args = (self.dfm.ref, self.encj, jnp.asarray(qoff),
+                        jnp.asarray(qdir), jnp.asarray(qlen),
+                        jnp.asarray(toff), jnp.asarray(tdir),
+                        jnp.asarray(tlen), jnp.asarray(h0),
+                        jnp.full((P,), w, np.int32), Q, T,
+                        opt.a, opt.b, opt.o_del, opt.e_del, opt.o_ins,
+                        opt.e_ins, opt.zdrop, end_bonus, self.max_sc)
+                if use_pallas:
+                    res = bsw_desc_pallas(*args, self.dfm.ref_packed)
+                else:
+                    res = bsw_desc_kernel(
+                        *args, self.dfm.ref_packed,
+                        h0_cap_bucket(int(h0[: len(idxs)].max(initial=0))))
                 out[np.array(idxs)] = np.asarray(res)[: len(idxs)]
                 continue
             q = np.full((P, Q), 4, np.int8)
@@ -536,7 +544,7 @@ class DeviceBSW:
         tlen <= TCAP), descriptors arrive as flat numpy arrays — no
         per-pair Python objects.  qoff is read-local; the read-grid row
         base is added here.  Same shape ladders / class split as _run."""
-        from . import bucket_pow2
+        from . import bucket_pow2, round_up
         encj = self.encj
         L = encj.shape[1]
         n = len(desc["qoff"])
@@ -544,23 +552,30 @@ class DeviceBSW:
         qls = desc["qlen"]
         tls = desc["tlen"]
         qoff_flat = desc["seqid"].astype(np.int64) * L + desc["qoff"]
+        from .bsw_pallas import bsw_desc_pallas, pallas_ok
+        use_pallas = pallas_ok()
         for Q, T, idxs in t_classes(qls, tls, np.arange(n)):
             P = bucket_pow2(len(idxs), 128)
+            if use_pallas:
+                P = round_up(P, 128)   # pairs = whole 128-lane programs
 
             def pad(a, dt):
                 v = np.zeros((P,), dt)
                 v[: len(idxs)] = a[idxs]
                 return jnp.asarray(v)
 
-            res = bsw_desc_kernel(
-                self.dfm.ref, encj, pad(qoff_flat, np.int32),
-                pad(desc["qdir"], np.int32), pad(qls, np.int32),
-                pad(desc["toff"], np.int64), pad(desc["tdir"], np.int32),
-                pad(tls, np.int32), pad(desc["h0"], np.int32),
-                jnp.full((P,), w, np.int32), Q, T,
-                opt.a, opt.b, opt.o_del, opt.e_del, opt.o_ins,
-                opt.e_ins, opt.zdrop, end_bonus, self.max_sc,
-                self.dfm.ref_packed,
-                h0_cap_bucket(int(desc["h0"][idxs].max(initial=0))))
+            args = (self.dfm.ref, encj, pad(qoff_flat, np.int32),
+                    pad(desc["qdir"], np.int32), pad(qls, np.int32),
+                    pad(desc["toff"], np.int64), pad(desc["tdir"], np.int32),
+                    pad(tls, np.int32), pad(desc["h0"], np.int32),
+                    jnp.full((P,), w, np.int32), Q, T,
+                    opt.a, opt.b, opt.o_del, opt.e_del, opt.o_ins,
+                    opt.e_ins, opt.zdrop, end_bonus, self.max_sc)
+            if use_pallas:
+                res = bsw_desc_pallas(*args, self.dfm.ref_packed)
+            else:
+                res = bsw_desc_kernel(
+                    *args, self.dfm.ref_packed,
+                    h0_cap_bucket(int(desc["h0"][idxs].max(initial=0))))
             out[idxs] = np.asarray(res)[: len(idxs)]
         return out
