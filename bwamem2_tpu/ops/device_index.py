@@ -1,14 +1,17 @@
 """Device-resident FM-index and the batched LF-mapping primitives.
 
 Layout (HBM):
-  occp      int32[nblocks, 9]  one 36-byte row per 64-char BWT block:
-                               [cp_lo[4] | cp_hi_pack | code[4]]
+  occp      int32[nblocks, 8]  one 32-byte row per 64-char BWT block:
+                               [cp_lo[4] | code[4]]
                                cp_lo    = low 32 bits of the 4 checkpoint
                                           counts (GET_OCC base)
-                               cp_hi    = the counts' high bits, one byte
-                                          per base packed into one lane
                                code[4]  = the block's 64 BWT chars as 2-bit
                                           codes, 16 per uint32, LSB-first
+  occ_hi    int32[nblocks]     the counts' bits 32.. , one byte per base
+                               packed into one lane — identically zero for
+                               any genome whose doubled length fits uint32,
+                               in which case it is a dummy and NEVER
+                               gathered (static `has_hi` flag)
   counts    int64[5]           cumulative char counts (+1 sentinel shift)
   sa_ms/ls  int32/uint32       8x-compressed suffix array
   ref       uint8[2*l_pac]     doubled genome (the .0123 buffer)
@@ -16,14 +19,21 @@ Layout (HBM):
 The reference keeps CP_OCC as 64-byte array-of-structs blocks sized for x86
 cache lines: 4 int64 counts + 4 uint64 one-hot masks per 64 chars, 1 byte
 per indexed char (FMI_search.h:54-58).  The TPU reformulation packs the
-same information into a 36-byte row — 0.56 bytes/char — by storing the BWT
+same information into a 32-byte row — 0.5 bytes/char — by storing the BWT
 chars as 2-bit codes instead of 4 one-hot planes and deriving per-base
 membership masks arithmetically (3 VPU ops + popcount per 16-char word vs
 1 popcount, a trade that is pure win on a machine whose occ() cost is HBM
 gather rows, not ALU).  Each occ() query is still ONE row gather; the table
-is 1.8-3.6x smaller than the round-2 split layout (occ4+occ1), which both
+is 2-4x smaller than the round-2 split layout (occ4+occ1), which both
 shrinks the random-gather working set and makes a human-scale (3.1 Gbp)
 index fit one chip's HBM with room for kernel working sets.
+
+The row width is a measured choice: XLA:TPU row gathers of width 8 run ~3x
+faster per step than width 9 (tools/gather_scale_probe.py on v5e), so the
+rarely-nonzero high count bytes live in their own int32[nblocks] plane,
+gathered only for genomes whose counts can exceed 32 bits (> ~2 Gbp) —
+every kernel on human-or-smaller genomes pays exactly one 8-word gather
+per occ().
 
 occ/backward-ext semantics mirror GET_OCC (FMI_search.h:66-73) and
 backwardExt (FMI_search.cpp:1025-1052) exactly, including 64-bit counts.
@@ -62,15 +72,17 @@ def _spread16() -> np.ndarray:
     return _SPREAD16
 
 
-def pack_occ_rows(cp_count: np.ndarray, one_hot: np.ndarray) -> np.ndarray:
+def pack_occ_rows(cp_count: np.ndarray,
+                  one_hot: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Host-side build of the packed occ table from the index file's
-    checkpoint layout (cp_count int64[nb,4], one_hot uint64[nb,4])."""
+    checkpoint layout (cp_count int64[nb,4], one_hot uint64[nb,4]).
+    Returns (occp int32[nb,8], occ_hi int32[nb])."""
     nb = cp_count.shape[0]
-    occp = np.zeros((nb, 9), np.int32)
+    occp = np.zeros((nb, 8), np.int32)
     occp[:, 0:4] = (cp_count & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
     hi = (cp_count >> 32).astype(np.int32)   # < 256 for any genome < 2^40
-    occp[:, 4] = hi[:, 0] | (hi[:, 1] << 8) | (hi[:, 2] << 16) \
-        | (hi[:, 3] << 24)
+    occ_hi = (hi[:, 0] | (hi[:, 1] << 8) | (hi[:, 2] << 16)
+              | (hi[:, 3] << 24)).astype(np.int32)
     spread = _spread16()
     # code planes: lo bit set for chars 1,3; hi bit for chars 2,3
     lo64 = one_hot[:, 1] | one_hot[:, 3]
@@ -79,15 +91,16 @@ def pack_occ_rows(cp_count: np.ndarray, one_hot: np.ndarray) -> np.ndarray:
         sh = np.uint64(48 - 16 * wi)
         sub_lo = ((lo64 >> sh) & np.uint64(0xFFFF)).astype(np.uint16)
         sub_hi = ((hi64 >> sh) & np.uint64(0xFFFF)).astype(np.uint16)
-        occp[:, 5 + wi] = (spread[sub_lo]
+        occp[:, 4 + wi] = (spread[sub_lo]
                            | (spread[sub_hi] << 1)).view(np.int32)
-    return occp
+    return occp, occ_hi
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class DeviceFMIndex:
-    occp: jax.Array       # int32[nblocks, 9] packed block rows (see above)
+    occp: jax.Array       # int32[nblocks, 8] packed block rows (see above)
+    occ_hi: jax.Array     # int32[nblocks] packed count-hi bytes (or dummy)
     counts: jax.Array     # int64[5]
     sa_ms: jax.Array      # int8[(n>>3)+1] (sign-extends at use)
     sa_ls: jax.Array      # uint32[(n>>3)+1]
@@ -96,6 +109,7 @@ class DeviceFMIndex:
     lut_k: jax.Array      # int64[4^K] K-mer interval starts (or size-1 dummy)
     lut_s: jax.Array      # int64[4^K] K-mer interval sizes
     ref_packed: bool = False   # static: 4 chars/byte (human-scale HBM)
+    has_hi: bool = False       # static: occ counts can exceed 32 bits
     # genome-bucket index sharding (SURVEY §5.8): when set, occp/sa_ms/sa_ls
     # hold only the LOCAL row shard (contiguous blocks, axis-index order)
     # and every row fetch is the distributed gather in _dist_rows.  Code
@@ -111,18 +125,24 @@ class DeviceFMIndex:
     REF_PACK_MIN = 1 << 31
 
     def tree_flatten(self):
-        return ((self.occp, self.counts, self.sa_ms, self.sa_ls,
-                 self.sentinel, self.ref, self.lut_k, self.lut_s),
-                (self.ref_packed, self.shard_axis))
+        return ((self.occp, self.occ_hi, self.counts, self.sa_ms,
+                 self.sa_ls, self.sentinel, self.ref, self.lut_k,
+                 self.lut_s),
+                (self.ref_packed, self.has_hi, self.shard_axis))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, ref_packed=aux[0], shard_axis=aux[1])
+        return cls(*children, ref_packed=aux[0], has_hi=aux[1],
+                   shard_axis=aux[2])
 
     @classmethod
     def from_host(cls, fm: FMIndex, device=None,
                   lut: tuple | None = None) -> "DeviceFMIndex":
-        occp = pack_occ_rows(fm.cp_count.astype(np.int64), fm.one_hot)
+        occp, occ_hi = pack_occ_rows(fm.cp_count.astype(np.int64),
+                                     fm.one_hot)
+        has_hi = bool(occ_hi.any())
+        if not has_hi:
+            occ_hi = np.zeros(1, np.int32)
         put = partial(jax.device_put, device=device)
         lut_k = lut[0] if lut else np.zeros(1, np.int64)
         lut_s = lut[1] if lut else np.zeros(1, np.int64)
@@ -137,6 +157,7 @@ class DeviceFMIndex:
                    | (r[:, 3] << 6)).astype(np.uint8)
         return cls(
             occp=put(occp),
+            occ_hi=put(occ_hi),
             counts=put(fm.counts.astype(np.int64)),
             sa_ms=put(fm.sa_ms_byte.astype(np.int8)),
             sa_ls=put(fm.sa_ls_word.astype(np.uint32)),
@@ -145,6 +166,7 @@ class DeviceFMIndex:
             lut_k=put(lut_k.astype(np.int64)),
             lut_s=put(lut_s.astype(np.int64)),
             ref_packed=ref_packed,
+            has_hi=has_hi,
         )
 
 
@@ -205,10 +227,10 @@ def _fetch_rows(dfm: DeviceFMIndex, tab, idx):
 
 def _row(dfm: DeviceFMIndex, pos):
     """Fetch the packed block row for each position: ONE gather.
-    Returns (row int32[..., 9], y int32 offset-in-block)."""
+    Returns (row int32[..., 8], y int32 offset-in-block, blk int32)."""
     blk = (pos >> 6).astype(jnp.int32)
     y = (pos & 63).astype(jnp.int32)
-    return _fetch_rows(dfm, dfm.occp, blk), y
+    return _fetch_rows(dfm, dfm.occp, blk), y, blk
 
 
 _W_OFFS = np.arange(4, dtype=np.int32) * 16   # code-word start offsets
@@ -245,10 +267,14 @@ def _sent_corr(dfm: DeviceFMIndex, pos, y, c):
             & (sent < pos)).astype(jnp.int32)
 
 
-def _cp64(row, c):
-    """Per-lane 64-bit checkpoint count for base c from a packed row."""
+def _cp64(dfm: DeviceFMIndex, blk, row, c):
+    """Per-lane 64-bit checkpoint count for base c from a packed row.
+    The high bytes live in their own plane (see module docstring) and are
+    gathered only when the genome is big enough for them to be nonzero."""
     lo = _u32(_sel4(row[..., 0:4], c)).astype(jnp.int64)
-    hi = (row[..., 4] >> (c << 3)) & 0xFF
+    if not dfm.has_hi:
+        return lo
+    hi = (_fetch_rows(dfm, dfm.occ_hi, blk) >> (c << 3)) & 0xFF
     return lo + (hi.astype(jnp.int64) << 32)
 
 
@@ -261,11 +287,11 @@ def _sel4(v, c):
 
 def occ_one(dfm: DeviceFMIndex, pos, c):
     """occ(pos, c) for one char per lane: # of c in BWT[0:pos).
-    One 36-byte row gather + 4 word popcounts (GET_OCC equivalent)."""
-    row, y = _row(dfm, pos)
-    words = _u32(row[..., 5:9])
+    One 32-byte row gather + 4 word popcounts (GET_OCC equivalent)."""
+    row, y, blk = _row(dfm, pos)
+    words = _u32(row[..., 4:8])
     n = _inblock_count(words, y, c) - _sent_corr(dfm, pos, y, c)
-    return _cp64(row, c) + n.astype(jnp.int64)
+    return _cp64(dfm, blk, row, c) + n.astype(jnp.int64)
 
 
 def occ_one32(dfm: DeviceFMIndex, pos, c):
@@ -273,8 +299,8 @@ def occ_one32(dfm: DeviceFMIndex, pos, c):
     the cp high byte is identically zero, so the count is the low int32
     lane + in-block popcounts — same gather, half the loop-state width for
     callers that carry (k, s) through long walks."""
-    row, y = _row(dfm, pos)
-    words = _u32(row[..., 5:9])
+    row, y, _ = _row(dfm, pos)
+    words = _u32(row[..., 4:8])
     n = _inblock_count(words, y, c) - _sent_corr(dfm, pos, y, c)
     return _sel4(row[..., 0:4], c) + n
 
@@ -289,8 +315,8 @@ def lf_step32(dfm: DeviceFMIndex, counts32, k, s, a):
 
 def occ_all4(dfm: DeviceFMIndex, pos):
     """occ(pos, c) for all 4 chars per lane -> (..., 4) int64.  One gather."""
-    row, y = _row(dfm, pos)
-    words = _u32(row[..., 5:9])                      # (..., 4)
+    row, y, blk = _row(dfm, pos)
+    words = _u32(row[..., 4:8])                      # (..., 4)
     pmask = _prefix_masks(y)                         # (..., 4)
     lo = words & jnp.uint32(0x55555555)              # plane: code bit 0
     hi = (words >> 1) & jnp.uint32(0x55555555)       # plane: code bit 1
@@ -307,7 +333,10 @@ def occ_all4(dfm: DeviceFMIndex, pos):
             & (sent < pos)).astype(jnp.int64)
     n = n.at[..., 0].add(-corr)                      # phantom 'A' at sentinel
     lo4 = _u32(row[..., 0:4]).astype(jnp.int64)
-    hi4 = ((row[..., 4:5] >> (jnp.arange(4, dtype=jnp.int32) << 3))
+    if not dfm.has_hi:
+        return lo4 + n
+    hirow = _fetch_rows(dfm, dfm.occ_hi, blk)
+    hi4 = ((hirow[..., None] >> (jnp.arange(4, dtype=jnp.int32) << 3))
            & 0xFF).astype(jnp.int64) << 32
     return lo4 + hi4 + n
 
@@ -346,22 +375,22 @@ def bwt_char_occ(dfm: DeviceFMIndex, pos):
     the fused LF-walk step of SA resolution.  With stored codes the char is
     a direct 2-bit extract; only the sentinel slot needs the identity
     check (its slot stores code 0)."""
-    row, y = _row(dfm, pos)
-    words = _u32(row[..., 5:9])
+    row, y, blk = _row(dfm, pos)
+    words = _u32(row[..., 4:8])
     word = _sel4(words, y >> 4)
     code = ((word >> ((y & 15).astype(jnp.uint32) << 1)) & 3) \
         .astype(jnp.int32)
     is_sent = pos == dfm.sentinel
     c = jnp.where(is_sent, jnp.int32(4), code)
     n = _inblock_count(words, y, code) - _sent_corr(dfm, pos, y, code)
-    occ = _cp64(row, code) + n.astype(jnp.int64)
+    occ = _cp64(dfm, blk, row, code) + n.astype(jnp.int64)
     return c, occ
 
 
 def bwt_char(dfm: DeviceFMIndex, pos):
     """BWT char at pos from the stored codes (4 = sentinel)."""
-    row, y = _row(dfm, pos)
-    word = _sel4(_u32(row[..., 5:9]), y >> 4)
+    row, y, _ = _row(dfm, pos)
+    word = _sel4(_u32(row[..., 4:8]), y >> 4)
     code = ((word >> ((y & 15).astype(jnp.uint32) << 1)) & 3) \
         .astype(jnp.int32)
     return jnp.where(pos == dfm.sentinel, jnp.int32(4), code)

@@ -55,6 +55,8 @@ def shard_index(mesh: Mesh, dfm: DeviceFMIndex,
 
     return DeviceFMIndex(
         occp=put_sharded(dfm.occp),
+        occ_hi=(put_sharded(dfm.occ_hi) if dfm.has_hi
+                else jax.device_put(np.asarray(dfm.occ_hi), rep)),
         counts=jax.device_put(np.asarray(dfm.counts), rep),
         sa_ms=put_sharded(dfm.sa_ms),
         sa_ls=put_sharded(dfm.sa_ls),
@@ -63,6 +65,7 @@ def shard_index(mesh: Mesh, dfm: DeviceFMIndex,
         lut_k=jax.device_put(np.asarray(dfm.lut_k), rep),
         lut_s=jax.device_put(np.asarray(dfm.lut_s), rep),
         ref_packed=dfm.ref_packed,
+        has_hi=dfm.has_hi,
         shard_axis=axis,
     )
 
@@ -71,9 +74,10 @@ def index_specs(dfm: DeviceFMIndex, axis: str = "data") -> DeviceFMIndex:
     """The PartitionSpec pytree matching shard_index's layout (for
     shard_map in_specs)."""
     return DeviceFMIndex(
-        occp=P(axis), counts=P(), sa_ms=P(axis), sa_ls=P(axis),
+        occp=P(axis), occ_hi=P(axis) if dfm.has_hi else P(),
+        counts=P(), sa_ms=P(axis), sa_ls=P(axis),
         sentinel=P(), ref=P(), lut_k=P(), lut_s=P(),
-        ref_packed=dfm.ref_packed, shard_axis=axis)
+        ref_packed=dfm.ref_packed, has_hi=dfm.has_hi, shard_axis=axis)
 
 
 def sharded_kernel(mesh: Mesh, kernel, dfm_spec: DeviceFMIndex,
