@@ -218,6 +218,33 @@ def _dist_rows(tab, idx, axis: str):
     return out.reshape(shape)
 
 
+def _dist_rows_fused(tab_a, tab_b, idx, axis: str):
+    """One-collective-round variant of _dist_rows for TWO equally-sharded
+    tables queried at the SAME row ids (occp + occ_hi on a >2Gbp sharded
+    index): a single all_gather of the ids, both local gathers, and ONE
+    psum_scatter over the concatenated rows — halving the ICI rounds per
+    LF step vs two separate _dist_rows calls.  tab_b is 1-D (per-row
+    scalar); returns (rows_a [..., W], rows_b [...])."""
+    D = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    nloc = tab_a.shape[0]
+    W = tab_a.shape[-1]
+    shape = idx.shape
+    ids = idx.reshape(-1)
+    n = ids.shape[0]
+    ids_all = jax.lax.all_gather(ids, axis)              # (D, n)
+    loc = ids_all - jnp.asarray(me * nloc, ids_all.dtype)
+    inr = (loc >= 0) & (loc < nloc)
+    safe = jnp.clip(loc, 0, nloc - 1)
+    rows_a = jnp.where(inr[..., None], tab_a[safe], 0)
+    rows_b = jnp.where(inr, tab_b[safe], 0)
+    cat = jnp.concatenate([rows_a, rows_b[..., None]], axis=-1)
+    out = jax.lax.psum_scatter(cat.reshape(D * n, W + 1), axis,
+                               scatter_dimension=0, tiled=True)
+    out = out.reshape(*shape, W + 1)
+    return out[..., :W], out[..., W]
+
+
 def _fetch_rows(dfm: DeviceFMIndex, tab, idx):
     """Row gather honoring the index's sharding mode."""
     if dfm.shard_axis is None:
@@ -226,11 +253,22 @@ def _fetch_rows(dfm: DeviceFMIndex, tab, idx):
 
 
 def _row(dfm: DeviceFMIndex, pos):
-    """Fetch the packed block row for each position: ONE gather.
-    Returns (row int32[..., 8], y int32 offset-in-block, blk int32)."""
+    """Fetch the packed block row for each position: ONE gather (plus the
+    hi-count plane when the genome needs it — fused into the same
+    collective round on a sharded index).
+    Returns (row int32[..., 8], y int32, blk int32, hi int32[...] | None)."""
     blk = (pos >> 6).astype(jnp.int32)
     y = (pos & 63).astype(jnp.int32)
-    return _fetch_rows(dfm, dfm.occp, blk), y, blk
+    if not dfm.has_hi:
+        return _fetch_rows(dfm, dfm.occp, blk), y, blk, None
+    if dfm.shard_axis is not None:
+        row, hi = _dist_rows_fused(dfm.occp, dfm.occ_hi, blk,
+                                   dfm.shard_axis)
+        return row, y, blk, hi
+    # replicated: two independent gathers (XLA drops the hi gather when a
+    # caller never consumes it, e.g. occ_one32 on small genomes)
+    return (_fetch_rows(dfm, dfm.occp, blk), y, blk,
+            _fetch_rows(dfm, dfm.occ_hi, blk))
 
 
 _W_OFFS = np.arange(4, dtype=np.int32) * 16   # code-word start offsets
@@ -267,14 +305,15 @@ def _sent_corr(dfm: DeviceFMIndex, pos, y, c):
             & (sent < pos)).astype(jnp.int32)
 
 
-def _cp64(dfm: DeviceFMIndex, blk, row, c):
+def _cp64(dfm: DeviceFMIndex, hirow, row, c):
     """Per-lane 64-bit checkpoint count for base c from a packed row.
-    The high bytes live in their own plane (see module docstring) and are
-    gathered only when the genome is big enough for them to be nonzero."""
+    The high bytes live in their own plane (see module docstring), fetched
+    alongside the row by _row only when the genome is big enough for them
+    to be nonzero (hirow is None otherwise)."""
     lo = _u32(_sel4(row[..., 0:4], c)).astype(jnp.int64)
-    if not dfm.has_hi:
+    if hirow is None:
         return lo
-    hi = (_fetch_rows(dfm, dfm.occ_hi, blk) >> (c << 3)) & 0xFF
+    hi = (hirow >> (c << 3)) & 0xFF
     return lo + (hi.astype(jnp.int64) << 32)
 
 
@@ -288,10 +327,10 @@ def _sel4(v, c):
 def occ_one(dfm: DeviceFMIndex, pos, c):
     """occ(pos, c) for one char per lane: # of c in BWT[0:pos).
     One 32-byte row gather + 4 word popcounts (GET_OCC equivalent)."""
-    row, y, blk = _row(dfm, pos)
+    row, y, _, hirow = _row(dfm, pos)
     words = _u32(row[..., 4:8])
     n = _inblock_count(words, y, c) - _sent_corr(dfm, pos, y, c)
-    return _cp64(dfm, blk, row, c) + n.astype(jnp.int64)
+    return _cp64(dfm, hirow, row, c) + n.astype(jnp.int64)
 
 
 def occ_one32(dfm: DeviceFMIndex, pos, c):
@@ -299,7 +338,7 @@ def occ_one32(dfm: DeviceFMIndex, pos, c):
     the cp high byte is identically zero, so the count is the low int32
     lane + in-block popcounts — same gather, half the loop-state width for
     callers that carry (k, s) through long walks."""
-    row, y, _ = _row(dfm, pos)
+    row, y, _, _ = _row(dfm, pos)
     words = _u32(row[..., 4:8])
     n = _inblock_count(words, y, c) - _sent_corr(dfm, pos, y, c)
     return _sel4(row[..., 0:4], c) + n
@@ -315,7 +354,7 @@ def lf_step32(dfm: DeviceFMIndex, counts32, k, s, a):
 
 def occ_all4(dfm: DeviceFMIndex, pos):
     """occ(pos, c) for all 4 chars per lane -> (..., 4) int64.  One gather."""
-    row, y, blk = _row(dfm, pos)
+    row, y, _, hirow = _row(dfm, pos)
     words = _u32(row[..., 4:8])                      # (..., 4)
     pmask = _prefix_masks(y)                         # (..., 4)
     lo = words & jnp.uint32(0x55555555)              # plane: code bit 0
@@ -333,9 +372,8 @@ def occ_all4(dfm: DeviceFMIndex, pos):
             & (sent < pos)).astype(jnp.int64)
     n = n.at[..., 0].add(-corr)                      # phantom 'A' at sentinel
     lo4 = _u32(row[..., 0:4]).astype(jnp.int64)
-    if not dfm.has_hi:
+    if hirow is None:
         return lo4 + n
-    hirow = _fetch_rows(dfm, dfm.occ_hi, blk)
     hi4 = ((hirow[..., None] >> (jnp.arange(4, dtype=jnp.int32) << 3))
            & 0xFF).astype(jnp.int64) << 32
     return lo4 + hi4 + n
@@ -375,7 +413,7 @@ def bwt_char_occ(dfm: DeviceFMIndex, pos):
     the fused LF-walk step of SA resolution.  With stored codes the char is
     a direct 2-bit extract; only the sentinel slot needs the identity
     check (its slot stores code 0)."""
-    row, y, blk = _row(dfm, pos)
+    row, y, _, hirow = _row(dfm, pos)
     words = _u32(row[..., 4:8])
     word = _sel4(words, y >> 4)
     code = ((word >> ((y & 15).astype(jnp.uint32) << 1)) & 3) \
@@ -383,13 +421,13 @@ def bwt_char_occ(dfm: DeviceFMIndex, pos):
     is_sent = pos == dfm.sentinel
     c = jnp.where(is_sent, jnp.int32(4), code)
     n = _inblock_count(words, y, code) - _sent_corr(dfm, pos, y, code)
-    occ = _cp64(dfm, blk, row, code) + n.astype(jnp.int64)
+    occ = _cp64(dfm, hirow, row, code) + n.astype(jnp.int64)
     return c, occ
 
 
 def bwt_char(dfm: DeviceFMIndex, pos):
     """BWT char at pos from the stored codes (4 = sentinel)."""
-    row, y, _ = _row(dfm, pos)
+    row, y, _, _ = _row(dfm, pos)
     word = _sel4(_u32(row[..., 4:8]), y >> 4)
     code = ((word >> ((y & 15).astype(jnp.uint32) << 1)) & 3) \
         .astype(jnp.int32)

@@ -1,24 +1,28 @@
 """Genome-bucket FM-index sharding across a device mesh (SURVEY §5.8).
 
 The replicated deployment (parallel/mesh.py) needs every chip to hold the
-whole index; at human scale (3.1 Gbp) the occ table alone is 6.2 GB and the
-compressed SA 3.9 GB — together they drown a 16 GB v5e once kernel working
-sets are added.  This module shards the two big tables by CONTIGUOUS ROW
-RANGE ("genome bucket") over a mesh axis:
+whole index; at human scale (3.1 Gbp, doubled genome 6.2 G chars) the
+packed occ table is 6.2G/64 blocks x 32 B = 3.1 GB and the compressed SA
+(6.2G/8 entries x 5 B) 3.9 GB — together with the 1.55 GB packed reference
+they crowd a 16 GB v5e once kernel working sets are added.  This module
+shards the big tables by CONTIGUOUS ROW RANGE ("genome bucket") over a
+mesh axis:
 
-  occp   int32[nblocks, 9]   -> rows split across devices (axis order)
+  occp   int32[nblocks, 8]   -> rows split across devices (axis order)
+  occ_hi int32[nblocks]      -> same (>2 Gbp genomes; dummy otherwise)
   sa_ms  int8 [(n>>3)+1]     -> same
   sa_ls  uint32[(n>>3)+1]    -> same
   counts / sentinel / ref / lut stay replicated (ref is 2-bit packed at
   this scale: 1.55 GB; see DeviceFMIndex.REF_PACK_MIN).
 
-Per-chip HBM at 3.1 Gbp: replicated = 6.2 + 3.9 + 1.55 ≈ 11.7 GB;
-sharded over 4 chips = (6.2 + 3.9)/4 + 1.55 ≈ 4.1 GB.
+Per-chip HBM at 3.1 Gbp: replicated = 3.1 + 3.9 + 1.55 ≈ 8.6 GB;
+sharded over 4 chips = (3.1 + 3.9)/4 + 1.55 ≈ 3.3 GB.
 
 Every row fetch inside the kernels becomes the distributed gather
 `ops.device_index._dist_rows` (all_gather ids → local gather → psum_scatter
-rows), so kernels run unmodified inside `jax.shard_map` with reads sharded
-over the same axis — lookups cost one ICI round per LF step in exchange for
+rows; occp + occ_hi ride ONE fused collective round via _dist_rows_fused),
+so kernels run unmodified inside `jax.shard_map` with reads sharded over
+the same axis — lookups cost one ICI round per LF step in exchange for
 the capacity.  The reference has no equivalent (single shared-memory
 CP_OCC, FMI_search.h:54-58); this is the TPU-native answer to its "one
 socket sees the whole table" assumption.

@@ -347,3 +347,69 @@ def test_packed_ref_bit_identical(fm):
         golden = [l for l in f if not l.startswith("@")]
     ours = "".join(r.sam for r in reads).splitlines(keepends=True)
     assert ours == golden
+
+
+def test_occ_hi_plane_above_2gbp():
+    """has_hi=True occ arithmetic (counts above 2^32, incl. a hi byte
+    >= 128 exercising the int32 sign-bit pack of occ_hi) vs brute force.
+
+    Real fixtures are all small genomes (has_hi=False), so the hi-plane
+    gather paths (_cp64 hi, occ_all4 hi4, bwt_char_occ) are covered here
+    with a synthetic index built straight through pack_occ_rows."""
+    import jax.numpy as jnp
+    from bwamem2_tpu.ops.device_index import (DeviceFMIndex, bwt_char_occ,
+                                              occ_all4, occ_one,
+                                              pack_occ_rows)
+
+    rng = np.random.default_rng(42)
+    n = 300                        # 5 blocks, last one partial
+    sent = 137
+    bwt = rng.integers(0, 4, n).astype(np.int64)
+    # checkpoint base offsets push every count above 2^32; hi bytes 131 and
+    # 144 set the top bit of their byte (and 144 sits in occ_hi bits 24..31,
+    # making the packed int32 negative)
+    base = np.array([(3 << 32) | 5, (131 << 32) | 7,
+                     (1 << 32) | 11, (144 << 32) | 13], np.int64)
+    nb = (n + 63) // 64
+    one_hot = np.zeros((nb, 4), np.uint64)
+    cp = np.zeros((nb, 4), np.int64)
+    run = base.copy()
+    for b in range(nb):
+        cp[b] = run
+        for p in range(64 * b, min(64 * b + 64, n)):
+            if p == sent:
+                continue
+            one_hot[b, bwt[p]] |= np.uint64(1) << np.uint64(63 - (p & 63))
+            run[bwt[p]] += 1
+    occp, occ_hi = pack_occ_rows(cp, one_hot)
+    assert (occ_hi < 0).any()      # the sign-bit pack is actually exercised
+    dummy64 = jnp.zeros(1, jnp.int64)
+    dfm = DeviceFMIndex(
+        occp=jnp.asarray(occp), occ_hi=jnp.asarray(occ_hi),
+        counts=jnp.zeros(5, jnp.int64),
+        sa_ms=jnp.zeros(1, jnp.int8), sa_ls=jnp.zeros(1, jnp.uint32),
+        sentinel=jnp.int64(sent), ref=jnp.zeros(1, jnp.uint8),
+        lut_k=dummy64, lut_s=dummy64, has_hi=True)
+
+    def brute(pos, c):
+        cnt = sum(1 for p in range(pos) if p != sent and bwt[p] == c)
+        return int(base[c]) + cnt
+
+    pos = np.arange(0, n + 1, dtype=np.int64)
+    for c in range(4):
+        got = np.asarray(occ_one(dfm, jnp.asarray(pos), jnp.int32(c)))
+        want = np.array([brute(int(p), c) for p in pos])
+        np.testing.assert_array_equal(got, want)
+    got4 = np.asarray(occ_all4(dfm, jnp.asarray(pos)))
+    for c in range(4):
+        np.testing.assert_array_equal(
+            got4[:, c], [brute(int(p), c) for p in pos])
+    # fused char+occ (SA-walk step): char 4 at the sentinel, occ of the
+    # stored char elsewhere
+    ch, occ = (np.asarray(a) for a in
+               bwt_char_occ(dfm, jnp.asarray(pos[:-1])))
+    want_ch = np.where(pos[:-1] == sent, 4, bwt[pos[:-1]])
+    np.testing.assert_array_equal(ch, want_ch)
+    nsent = pos[:-1] != sent
+    want_occ = np.array([brute(int(p), int(bwt[p])) for p in pos[:-1]])
+    np.testing.assert_array_equal(occ[nsent], want_occ[nsent])

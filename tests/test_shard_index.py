@@ -108,3 +108,52 @@ def test_shard_memory_split(fm, dfm, mesh):
     assert len(shards) == 8
     per_dev = shards[0].data.size * 4
     assert per_dev <= total // 8 + 64 * 4
+
+
+def test_sharded_hi_plane_fused_gather(mesh):
+    """has_hi index sharded over the mesh: the fused one-collective-round
+    occp+occ_hi fetch (_dist_rows_fused) must equal the replicated path."""
+    from bwamem2_tpu.ops.device_index import pack_occ_rows
+    rng = np.random.default_rng(9)
+    n = 64 * 40                       # 40 blocks, 5 rows/device
+    sent = 777
+    bwt = rng.integers(0, 4, n).astype(np.int64)
+    base = np.array([(3 << 32) | 5, (131 << 32) | 7,
+                     (1 << 32) | 11, (144 << 32) | 13], np.int64)
+    nb = n // 64
+    one_hot = np.zeros((nb, 4), np.uint64)
+    cp = np.zeros((nb, 4), np.int64)
+    run = base.copy()
+    for b in range(nb):
+        cp[b] = run
+        for p in range(64 * b, 64 * b + 64):
+            if p == sent:
+                continue
+            one_hot[b, bwt[p]] |= np.uint64(1) << np.uint64(63 - (p & 63))
+            run[bwt[p]] += 1
+    occp, occ_hi = pack_occ_rows(cp, one_hot)
+    dummy64 = jnp.zeros(1, jnp.int64)
+    dfm_hi = DeviceFMIndex(
+        occp=jnp.asarray(occp), occ_hi=jnp.asarray(occ_hi),
+        counts=jnp.zeros(5, jnp.int64),
+        sa_ms=jnp.zeros(1, jnp.int8), sa_ls=jnp.zeros(1, jnp.uint32),
+        sentinel=jnp.int64(sent), ref=jnp.zeros(1, jnp.uint8),
+        lut_k=dummy64, lut_s=dummy64, has_hi=True)
+    pos = jnp.asarray(rng.integers(0, n, 1024), jnp.int64)
+    c = jnp.asarray(rng.integers(0, 4, 1024), jnp.int32)
+    want4 = np.asarray(occ_all4(dfm_hi, pos))
+    want1 = np.asarray(occ_one(dfm_hi, pos, c))
+    wantb = [np.asarray(x) for x in bwt_char_occ(dfm_hi, pos)]
+
+    sdfm = shard_index(mesh, dfm_hi)
+    assert sdfm.has_hi
+    spec = index_specs(sdfm)
+    f4 = sharded_kernel(mesh, occ_all4, spec, 1)
+    np.testing.assert_array_equal(np.asarray(f4(sdfm, pos)), want4)
+    f1 = sharded_kernel(mesh, occ_one, spec, 2)
+    np.testing.assert_array_equal(np.asarray(f1(sdfm, pos, c)), want1)
+    fb = sharded_kernel(mesh, bwt_char_occ, spec, 1,
+                        out_specs=(P("data"), P("data")))
+    got_c, got_o = fb(sdfm, pos)
+    np.testing.assert_array_equal(np.asarray(got_c), wantb[0])
+    np.testing.assert_array_equal(np.asarray(got_o), wantb[1])

@@ -48,10 +48,21 @@ print(f"round1_chain  N={N} L={L}: "
 # --- round 2 forward/backward at observed pivot counts (~45k/chunk r1b) ---
 NP2 = 11520
 rid = jnp.asarray(rng.integers(0, N, NP2).astype(np.int32))
-x = jnp.asarray(rng.integers(0, 100, NP2).astype(np.int32))
+x = jnp.asarray(rng.integers(20, 100, NP2).astype(np.int32))
 mi = jnp.ones((NP2,), jnp.int64)
 print(f"round2_fwd    P={NP2}: "
       f"{t(lambda: round2_forward_kernel(dfm, enc, rid, x, mi, 24)):8.2f} ms")
+
+# backward pass: every lane seeded from a real forward-candidate interval
+cn, ck, cl, cs, ncand = round2_forward_kernel(dfm, enc, rid, x, mi, 24)
+piv = jnp.asarray(np.arange(NP2, dtype=np.int32))
+slot = jnp.zeros((NP2,), jnp.int32)
+print(f"round2_bwd    M={NP2} (32-step lockstep phase): "
+      f"{t(lambda: round2_backward_kernel(dfm, enc, rid, x, ck, cs, piv, slot, mi, 32)):8.2f} ms")
+
+# round 3 replay (one lane per read, 2L+2 steps)
+print(f"round3_replay N={N} L={L}: "
+      f"{t(lambda: round3_replay_kernel(dfm, enc, lens, jnp.int64(20), jnp.int32(20), 8)):8.2f} ms")
 
 # --- SA lookup at ~30k positions/chunk ---
 from bwamem2_tpu.ops.salookup import sa_lookup_kernel
