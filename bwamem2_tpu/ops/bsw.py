@@ -465,6 +465,7 @@ class DeviceBSW:
                        for Q, T, sel in t_classes(qls, tls, dev_idx)]
         from .bsw_pallas import bsw_desc_pallas, pallas_ok
         use_pallas = pallas_ok()
+        flights = []   # all buckets enqueued before ONE fetch
         for (Q, T), idxs in buckets:
             P = bucket_pow2(len(idxs), 128)
             if use_desc:
@@ -500,7 +501,7 @@ class DeviceBSW:
                     res = bsw_desc_kernel(
                         *args, self.dfm.ref_packed,
                         h0_cap_bucket(int(h0[: len(idxs)].max(initial=0))))
-                out[np.array(idxs)] = np.asarray(res)[: len(idxs)]
+                flights.append((idxs, res))
                 continue
             q = np.full((P, Q), 4, np.int8)
             t = np.full((P, T), 4, np.int8)
@@ -522,7 +523,10 @@ class DeviceBSW:
                              opt.e_ins, opt.zdrop, end_bonus, self.max_sc,
                              h0_cap_bucket(
                                  int(h0[: len(idxs)].max(initial=0))))
-            out[np.array(idxs)] = np.asarray(res)[: len(idxs)]
+            flights.append((idxs, res))
+        for (idxs, _), resh in zip(flights,
+                                   jax.device_get([f[1] for f in flights])):
+            out[np.array(idxs)] = resh[: len(idxs)]
         if host_idx:
             from ..align.extend import native_bsw_kernel_factory
             sub = [pending[i] for i in host_idx]
@@ -554,6 +558,7 @@ class DeviceBSW:
         qoff_flat = desc["seqid"].astype(np.int64) * L + desc["qoff"]
         from .bsw_pallas import bsw_desc_pallas, pallas_ok
         use_pallas = pallas_ok()
+        flights = []   # all rung groups enqueued before ONE fetch
         for Q, T, idxs in t_classes(qls, tls, np.arange(n)):
             P = bucket_pow2(len(idxs), 128)
             if use_pallas:
@@ -577,5 +582,8 @@ class DeviceBSW:
                 res = bsw_desc_kernel(
                     *args, self.dfm.ref_packed,
                     h0_cap_bucket(int(desc["h0"][idxs].max(initial=0))))
-            out[idxs] = np.asarray(res)[: len(idxs)]
+            flights.append((idxs, res))
+        for (idxs, _), resh in zip(flights,
+                                   jax.device_get([f[1] for f in flights])):
+            out[idxs] = resh[: len(idxs)]
         return out

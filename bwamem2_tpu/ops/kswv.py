@@ -58,9 +58,22 @@ NEGBIG = jnp.int32(-(1 << 24))
 HUGE = jnp.int32(1 << 22)
 
 
+ROW_BLOCK = 32   # rows per early-exit check in the row while_loop
+
+
 @partial(jax.jit,
          static_argnums=(11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21))
 def kswv_kernel(ref, enc, qoff, qdir, qcomp, qlen, toff, tdir, tlen,
+                endsc, do_lane,
+                Qmax: int, Tmax: int, minsc: int, mat_a: int, mat_b: int,
+                o_del: int, e_del: int, o_ins: int, e_ins: int,
+                ref_packed: bool = False, u8: bool = True):
+    return _kswv_phase(ref, enc, qoff, qdir, qcomp, qlen, toff, tdir, tlen,
+                       endsc, do_lane, Qmax, Tmax, minsc, mat_a, mat_b,
+                       o_del, e_del, o_ins, e_ins, ref_packed, u8)
+
+
+def _kswv_phase(ref, enc, qoff, qdir, qcomp, qlen, toff, tdir, tlen,
                 endsc, do_lane,
                 Qmax: int, Tmax: int, minsc: int, mat_a: int, mat_b: int,
                 o_del: int, e_del: int, o_ins: int, e_ins: int,
@@ -188,9 +201,30 @@ def kswv_kernel(ref, enc, qoff, qdir, qcomp, qlen, toff, tdir, tlen,
         alive = alive & ~brk
         return H, E, Hmax, rowmax, gmax, te, rowstop, alive
 
-    st = (H, E, Hmax, rowmax, gmax, te, rowstop, alive)
-    H, E, Hmax, rowmax, gmax, te, rowstop, alive = jax.lax.fori_loop(
-        0, Tmax, row_body, st)
+    # rows run in ROW_BLOCK chunks inside a while_loop whose condition is
+    # "any lane still inside its window and not broken": tiles whose
+    # problems are far below the shape-ladder rung (and phase-1 tiles,
+    # whose row count is bounded by the phase-0 end positions) skip the
+    # dead rows entirely — no host sync, the condition reduces on device
+    n_blocks = (Tmax + ROW_BLOCK - 1) // ROW_BLOCK
+    tl_eff = jnp.where(do_lane, tlen, 0)
+
+    def blk_body(bst):
+        blk = bst[0]
+
+        def inner(r, s):
+            return row_body(blk * ROW_BLOCK + r, s)
+
+        return (blk + 1,) + jax.lax.fori_loop(0, ROW_BLOCK, inner, bst[1:])
+
+    def blk_cond(bst):
+        blk, alive = bst[0], bst[-1]
+        return (blk < n_blocks) & jnp.any(alive
+                                          & (blk * ROW_BLOCK < tl_eff))
+
+    st = (jnp.int32(0), H, E, Hmax, rowmax, gmax, te, rowstop, alive)
+    st = jax.lax.while_loop(blk_cond, blk_body, st)
+    (_, H, E, Hmax, rowmax, gmax, te, rowstop, alive) = st
 
     if u8:
         saturated = (gmax + shift >= 255) & do_lane
@@ -232,8 +266,23 @@ def kswv_kernel(ref, enc, qoff, qdir, qcomp, qlen, toff, tdir, tlen,
         return have, val, row, best2, te2
 
     if minsc <= 0xFFFF:
-        have, val, row, best2, te2 = jax.lax.fori_loop(
-            0, Tmax, b_body, (have, val, row, best2, te2))
+        def b_blk_body(bst):
+            blk = bst[0]
+
+            def inner(r, s):
+                return b_body(blk * ROW_BLOCK + r, s)
+
+            return (blk + 1,) + jax.lax.fori_loop(0, ROW_BLOCK, inner,
+                                                  bst[1:])
+
+        def b_blk_cond(bst):
+            return (bst[0] < n_blocks) \
+                & jnp.any(bst[0] * ROW_BLOCK < rowstop)
+
+        bst = jax.lax.while_loop(
+            b_blk_cond, b_blk_body,
+            (jnp.int32(0), have, val, row, best2, te2))
+        _, have, val, row, best2, te2 = bst
         best2, te2 = flush(have, val, row, best2, te2,
                            jnp.ones((P,), bool))
         best2 = jnp.where(do_lane, best2, -1)
@@ -247,6 +296,36 @@ def kswv_kernel(ref, enc, qoff, qdir, qcomp, qlen, toff, tdir, tlen,
 
     return jnp.stack([score, te, qe, best2, te2,
                       saturated.astype(I32)], axis=1)
+
+
+@partial(jax.jit,
+         static_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19))
+def kswv_two_phase(ref, enc, qoff, qdir, qcomp, qlen, toff, tlen, do_lane,
+                   Qmax: int, Tmax: int, minsc: int, mat_a: int,
+                   mat_b: int, o_del: int, e_del: int, o_ins: int,
+                   e_ins: int, ref_packed: bool, u8: bool):
+    """Both kswv phases in ONE dispatch: phase-1 descriptors (reversed
+    prefixes ending at the phase-0 end, stop score = phase-0 score) are
+    computed on device, so no host sync sits between the phases
+    (mem_sam_pe_batch's two getScores calls, bwamem_pair.cpp:637-705).
+    The phase-1 tile reuses the phase-0 rungs; its row while_loop exits
+    at the last live end position, so the oversized rung costs nothing."""
+    ones = jnp.ones_like(qoff)
+    r0 = _kswv_phase(ref, enc, qoff, qdir, qcomp, qlen, toff, ones, tlen,
+                     ones * (1 << 16), do_lane, Qmax, Tmax, minsc,
+                     mat_a, mat_b, o_del, e_del, o_ins, e_ins,
+                     ref_packed, u8)
+    score, te, qe = r0[:, 0], r0[:, 1], r0[:, 2]
+    want = do_lane & (r0[:, 5] == 0) & (score >= minsc) \
+        & (te >= 0) & (qe >= 0)
+    r1 = _kswv_phase(ref, enc, qoff + qdir * qe, -qdir, qcomp,
+                     jnp.where(want, qe + 1, 0),
+                     toff + te.astype(toff.dtype), -ones,
+                     jnp.where(want, te + 1, 0),
+                     score, want, Qmax, Tmax, 1 << 16,
+                     mat_a, mat_b, o_del, e_del, o_ins, e_ins,
+                     ref_packed, u8)
+    return r0, r1
 
 
 class DeviceKswv:
@@ -269,10 +348,10 @@ class DeviceKswv:
         self.opt = opt
         self.minsc = opt.min_seed_len * opt.a
 
-    def _two_phase(self, encj, desc, dev, u8: bool) -> np.ndarray:
-        """Run phase 0 + phase 1 for the selected problem indices in one
-        precision class; returns (len(dev), 7) result rows plus the
-        phase-0 saturation mask (u8 only)."""
+    def _dispatch(self, encj, desc, dev, u8: bool):
+        """Enqueue the fused two-phase kernel for the selected problem
+        indices in one precision class; returns the in-flight (r0, r1)
+        device arrays — no host sync."""
         from . import bucket_pow2, round_up
         opt = self.opt
         P = bucket_pow2(len(dev), 64)
@@ -299,43 +378,15 @@ class DeviceKswv:
         tlen = pad(desc["tlen"], np.int32)
         do = np.zeros((P,), bool)
         do[: len(dev)] = True
-        doj = jnp.asarray(do)
-        ones = jnp.ones((P,), I32)
-        r0 = kswv_kernel(
-            self.dfm.ref, encj, qoff, qdir, qcomp, qlen, toff,
-            ones, tlen, ones * (1 << 16), doj,
-            Qmax, Tmax, self.minsc, opt.a, opt.b,
+        return kswv_two_phase(
+            self.dfm.ref, encj, qoff, qdir, qcomp, qlen, toff, tlen,
+            jnp.asarray(do), Qmax, Tmax, self.minsc, opt.a, opt.b,
             opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
             self.dfm.ref_packed, u8)
-        # phase 1: reversed prefixes, stop at the phase-0 score.  Its
-        # row count is bounded by the phase-0 END positions (te+1),
-        # typically a fraction of the rescue window — size its tile
-        # from them (one host sync; far cheaper than running phase 1
-        # over the full window rows)
-        score = r0[:, 0]
-        te = r0[:, 1]
-        qe = r0[:, 2]
-        sat = r0[:, 5] > 0
-        want = doj & ~sat & (score >= self.minsc) & (te >= 0) & (qe >= 0)
-        te_h, qe_h, want_h = jax.device_get((te, qe, want))
-        t1 = int(np.where(want_h, te_h + 1, 0).max(initial=1))
-        q1 = int(np.where(want_h, qe_h + 1, 0).max(initial=1))
-        Tmax1 = next(t for t in (128, 256, 512, 768, 1024, 1536, 2048)
-                     if t1 <= t) if t1 <= 2048 else round_up(t1, 256)
-        Qmax1 = next(q for q in (64, 128, 160, 256, 512)
-                     if q1 <= q) if q1 <= 512 else round_up(q1, 128)
-        r1 = kswv_kernel(
-            self.dfm.ref, encj,
-            qoff + qdir * qe, -qdir, qcomp,
-            jnp.where(want, qe + 1, 0),
-            toff + te.astype(jnp.int64), -ones,
-            jnp.where(want, te + 1, 0),
-            score, want,
-            Qmax1, Tmax1, 1 << 16, opt.a, opt.b,
-            opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
-            self.dfm.ref_packed, u8)
-        r0h, r1h = jax.device_get((r0, r1))
-        nb = len(dev)
+
+    def _finish(self, r0h, r1h, nb: int) -> np.ndarray:
+        """Assemble the native ksw_align 7-tuples from fetched phase
+        results."""
         res = np.zeros((nb, 7), np.int32)
         res[:, :5] = r0h[:nb, :5]
         res[:, 5] = -1
@@ -350,12 +401,16 @@ class DeviceKswv:
             & (r0h[:nb, 5] == 0) & (r0h[:nb, 1] >= 0) & (r0h[:nb, 2] >= 0)
         res[ok1, 5] = r0h[:nb][ok1, 1] - r1h[:nb][ok1, 1]
         res[ok1, 6] = r0h[:nb][ok1, 2] - r1h[:nb][ok1, 2]
-        return res, sat
+        return res
 
     def align_batch(self, encj, desc: dict) -> np.ndarray:
         """desc arrays (length n): qoff (flat read-grid index), qdir,
         qcomp, qlen, toff (abs), tlen; u8 (bool: XBYTE class).
-        Returns int32[n, 7]."""
+        Returns int32[n, 7].
+
+        Both precision classes are enqueued before the single fetch, so
+        a chunk's whole rescue batch costs ONE host<->device round trip
+        (two fused two-phase dispatches in flight back to back)."""
         n = len(desc["qoff"])
         out = np.zeros((n, 7), np.int32)
         out[:, 1:] = -1
@@ -364,12 +419,17 @@ class DeviceKswv:
         host_idx = set(np.nonzero(~in_cap)[0].tolist())
         dev_u8 = np.nonzero(desc["u8"] & in_cap)[0]
         dev_i16 = np.nonzero(~desc["u8"] & in_cap)[0]
+        flights = []
         if len(dev_u8):
-            res, _ = self._two_phase(encj, desc, dev_u8, u8=True)
-            out[dev_u8] = res
+            flights.append((dev_u8, self._dispatch(encj, desc, dev_u8,
+                                                   u8=True)))
         if len(dev_i16):
-            res, _ = self._two_phase(encj, desc, dev_i16, u8=False)
-            out[dev_i16] = res
+            flights.append((dev_i16, self._dispatch(encj, desc, dev_i16,
+                                                    u8=False)))
+        if flights:
+            fetched = jax.device_get([f[1] for f in flights])
+            for (dev, _), (r0h, r1h) in zip(flights, fetched):
+                out[dev] = self._finish(r0h, r1h, len(dev))
         if host_idx:
             from ..native import ksw_align
             KSW_XBYTE, KSW_XSTOP = 0x10000, 0x20000
