@@ -7,6 +7,7 @@ bwtindex.cpp:43-59) so existing command lines work unchanged.
 from __future__ import annotations
 
 import getopt
+import os
 import sys
 import time
 
@@ -275,7 +276,21 @@ def main_mem(argv: list[str]) -> int:
             import jax
             from .ops.backend import DeviceBackend
             devs = jax.devices()
-            if len(devs) > 1 and shard is None:
+            if (len(devs) > 1 and shard is None
+                    and os.environ.get("BWAMEM2_TPU_SHARD_INDEX")):
+                # genome-bucket INDEX sharding (SURVEY §5.8): the occ/SA
+                # tables split over all chips, kernels run in shard_map
+                # with distributed row gathers — for indexes too big for
+                # one chip's HBM.  Output is bit-identical to the
+                # replicated path (tests/test_shard_index.py).
+                from .parallel.mesh import make_mesh
+                backend = DeviceBackend(fm, opt, index_prefix=prefix,
+                                        mesh=make_mesh(len(devs)))
+                if verbose >= 3:
+                    sys.stderr.write(
+                        f"* index sharded over {len(devs)} chips "
+                        f"(genome-bucket mode)\n")
+            elif len(devs) > 1 and shard is None:
                 # multi-chip data parallelism: replicate the index on each
                 # chip, round-robin chunks (SURVEY §5.8 — zero collectives;
                 # sharded runs use one chip per host process instead)

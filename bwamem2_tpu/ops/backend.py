@@ -48,7 +48,16 @@ class DeviceBackend:
     def __init__(self, fm: FMIndex, opt, device=None, bucket: int = 512,
                  use_device_bsw: bool = True, use_klut: bool = True,
                  index_prefix: str | None = None,
-                 pivot_seeding: bool = True):
+                 pivot_seeding: bool = True,
+                 mesh=None, shard_axis: str = "data"):
+        """mesh: a jax.sharding.Mesh enables genome-bucket INDEX sharding
+        (SURVEY §5.8): occp/occ_hi/sa tables are split by contiguous row
+        range over `shard_axis`, every seeding / SA kernel runs inside
+        shard_map with its lane dim sharded over the same axis, and each
+        row fetch is the distributed gather of ops.device_index._dist_rows.
+        Output is bit-identical to the replicated path (tested); the cost
+        is one ICI collective round per LF step, paid for index capacity
+        beyond one chip's HBM."""
         self.fm = fm
         self.opt = opt
         # round-1 strategy: reference-shaped pivot chain (default) vs the
@@ -64,7 +73,21 @@ class DeviceBackend:
             self.lut_k_bits = K
             lut = (lk, ls)
         self._device = device
-        self.dfm = DeviceFMIndex.from_host(fm, device=device, lut=lut)
+        self.mesh = mesh
+        self.shard_axis = shard_axis
+        self._sm_cache: dict = {}
+        if mesh is not None:
+            assert pivot_seeding, "sharded-index mode uses pivot seeding"
+            assert device is None, "mesh and device are exclusive"
+            from jax.sharding import NamedSharding, PartitionSpec
+            from ..parallel.shard_index import index_specs, shard_index
+            staged = DeviceFMIndex.from_host(fm, device="host", lut=lut)
+            self.dfm = shard_index(mesh, staged, shard_axis)
+            self._spec = index_specs(self.dfm, shard_axis)
+            self._ndev = int(mesh.shape[shard_axis])
+            self._rep_sh = NamedSharding(mesh, PartitionSpec())
+        else:
+            self.dfm = DeviceFMIndex.from_host(fm, device=device, lut=lut)
         # int32 interval arithmetic is exact when the doubled genome fits
         self.small_index = fm.l_pac < DeviceFMIndex.SMALL_MAX_PAC
         self.bucket = bucket
@@ -74,6 +97,106 @@ class DeviceBackend:
         if use_device_bsw:
             from .bsw import DeviceBSW
             self._bsw = DeviceBSW(self.dfm, opt)
+
+    # ------------------------------------------------------------------
+    # sharded-index kernel dispatch (mesh mode)
+    # ------------------------------------------------------------------
+    def _shmap(self, key, fn, in_specs, out_specs):
+        """jit(shard_map(fn)) cached per kernel+static config.  Lane args
+        are sharded over the mesh axis, the index per its layout specs,
+        scalars/grids replicated (GSPMD inserts any reshard)."""
+        hit = self._sm_cache.get(key)
+        if hit is None:
+            hit = jax.jit(jax.shard_map(
+                fn, mesh=self.mesh, in_specs=in_specs,
+                out_specs=out_specs, check_vma=False))
+            self._sm_cache[key] = hit
+        return hit
+
+    def _lane_pad(self, n: int) -> int:
+        """Sharded lane dims must split evenly over the mesh axis."""
+        return n if self.mesh is None else round_up(n, self._ndev)
+
+    def _k_round1_chain(self, encj, lensj, cap: int):
+        if self.mesh is None:
+            return round1_chain_kernel(self.dfm, encj, lensj, cap)
+        from jax.sharding import PartitionSpec as P
+        ax = self.shard_axis
+        fn = self._shmap(
+            ("r1c", cap),
+            lambda dfm, e, l: round1_chain_kernel(dfm, e, l, cap),
+            (self._spec, P(ax), P(ax)), (P(ax), P(ax)))
+        return fn(self.dfm, encj, lensj)
+
+    def _k_round3(self, encj, lensj, max_intv, msl_p1, cap3: int):
+        if self.mesh is None:
+            return round3_replay_kernel(self.dfm, encj, lensj, max_intv,
+                                        msl_p1, cap3)
+        from jax.sharding import PartitionSpec as P
+        ax = self.shard_axis
+        fn = self._shmap(
+            ("r3", cap3),
+            lambda dfm, e, l, mx, ms: round3_replay_kernel(
+                dfm, e, l, mx, ms, cap3),
+            (self._spec, P(ax), P(ax), P(), P()), (P(ax),) * 5)
+        return fn(self.dfm, encj, lensj, max_intv, msl_p1)
+
+    def _k_round2_forward(self, encj, ridp_j, xp_j, mi_j, C: int):
+        if self.mesh is None:
+            return round2_forward_kernel(self.dfm, encj, ridp_j, xp_j,
+                                         mi_j, C)
+        from jax.sharding import PartitionSpec as P
+        ax = self.shard_axis
+        fn = self._shmap(
+            ("r2f", C),
+            lambda dfm, e, r, x, m: round2_forward_kernel(dfm, e, r, x,
+                                                          m, C),
+            (self._spec, P(), P(ax), P(ax), P(ax)), (P(ax),) * 5)
+        return fn(self.dfm, encj, ridp_j, xp_j, mi_j)
+
+    def _k_round2_backward(self, encj, ridp_j, xp_j, ck, cs, piv_idx,
+                           slot_idx, mi_j, phase: int):
+        """Phase-1 lockstep walk.  In mesh mode the lanes shard over the
+        axis while the pivot-level grids (ck/cs/ridp/xp/mi) replicate —
+        lanes index pivots globally."""
+        if self.mesh is None:
+            return round2_backward_kernel(self.dfm, encj, ridp_j, xp_j,
+                                          ck, cs, piv_idx, slot_idx,
+                                          mi_j, phase)
+        from jax.sharding import PartitionSpec as P
+        ax = self.shard_axis
+        fn = self._shmap(
+            ("r2b", phase),
+            lambda dfm, e, r, x, k, s, pi, si, m: round2_backward_kernel(
+                dfm, e, r, x, k, s, pi, si, m, phase),
+            (self._spec, P(), P(), P(), P(), P(), P(ax), P(ax), P()),
+            (P(ax),) * 5)
+        return fn(self.dfm, encj, ridp_j, xp_j, ck, cs, piv_idx,
+                  slot_idx, mi_j)
+
+    def _k_round2_resume(self, encj, rid_s, x_s, mi_s, col_s, k_s,
+                         steps: int, s_s):
+        if self.mesh is None:
+            return round2_backward_resume_kernel(
+                self.dfm, encj, rid_s, x_s, mi_s, col_s, k_s, steps, s_s)
+        from jax.sharding import PartitionSpec as P
+        ax = self.shard_axis
+        fn = self._shmap(
+            ("r2r", steps),
+            lambda dfm, e, r, x, m, c, k, s: round2_backward_resume_kernel(
+                dfm, e, r, x, m, c, k, steps, s),
+            (self._spec, P(), P(ax), P(ax), P(ax), P(ax), P(ax), P(ax)),
+            (P(ax),) * 4)
+        return fn(self.dfm, encj, rid_s, x_s, mi_s, col_s, k_s, s_s)
+
+    def _k_sa_lookup(self, posj):
+        if self.mesh is None:
+            return sa_lookup_kernel(self.dfm, posj)
+        from jax.sharding import PartitionSpec as P
+        ax = self.shard_axis
+        fn = self._shmap("sal", sa_lookup_kernel,
+                         (self._spec, P(ax)), P(ax))
+        return fn(self.dfm, posj)
 
     # ------------------------------------------------------------------
     # SMEM collection (3 rounds)
@@ -92,11 +215,19 @@ class DeviceBackend:
             from ..native.hostrt import collect_smems_reads
             return collect_smems_reads(self.fm, encs, opt)
         enc, lens = _pad_reads(encs)
+        if self.mesh is not None and enc.shape[0] % self._ndev:
+            pad = round_up(enc.shape[0], self._ndev) - enc.shape[0]
+            enc = np.concatenate(
+                [enc, np.full((pad, enc.shape[1]), 4, enc.dtype)])
+            lens = np.concatenate([lens, np.zeros(pad, lens.dtype)])
         N, L = enc.shape
         NR = len(encs)
         if self._device is not None:   # multi-chip: pin to this chip
             encj = jax.device_put(enc, self._device)
             lensj = jax.device_put(lens, self._device)
+        elif self.mesh is not None:    # replicated read grid over the mesh
+            encj = jax.device_put(enc, self._rep_sh)
+            lensj = jax.device_put(lens, self._rep_sh)
         else:
             encj = jnp.asarray(enc)
             lensj = jnp.asarray(lens)
@@ -115,7 +246,7 @@ class DeviceBackend:
             # reference-shaped pivot chain (see round1_chain_kernel): the
             # per-pivot forward/backward passes reuse the round-2 kernels
             # with min_intv=1
-            r1 = round1_chain_kernel(self.dfm, encj, lensj, ROUND1_PIVOT_CAP)
+            r1 = self._k_round1_chain(encj, lensj, ROUND1_PIVOT_CAP)
         else:
             r1 = round1_compact_kernel(
                 self.dfm, encj, lensj, self.lut_k_bits,
@@ -125,9 +256,8 @@ class DeviceBackend:
             msl_p1 = max(opt.min_seed_len + 1, 2)
             # each emit advances the pivot by >= msl_p1 columns
             cap3 = L // msl_p1 + 1
-            r3 = round3_replay_kernel(
-                self.dfm, encj, lensj, jnp.int64(opt.max_mem_intv),
-                jnp.int32(msl_p1), cap3)
+            r3 = self._k_round3(encj, lensj, jnp.int64(opt.max_mem_intv),
+                                jnp.int32(msl_p1), cap3)
         if self.pivot_seeding:
             npiv, px = jax.device_get(r1)
             npiv = npiv[:NR]
@@ -202,7 +332,7 @@ class DeviceBackend:
         import time as _time
         _t0 = _time.perf_counter()
         NP = len(pivots)
-        P = bucket_pow2(NP + 1, 64)  # slot P-1 stays a dead pad pivot
+        P = self._lane_pad(bucket_pow2(NP + 1, 64))  # P-1: dead pad pivot
         L = encj.shape[1]
         rids = np.fromiter((p[0] for p in pivots), np.int32, NP)
         xs = np.fromiter((p[1] for p in pivots), np.int32, NP)
@@ -217,8 +347,8 @@ class DeviceBackend:
         ridp_j = jnp.asarray(ridp)
         xp_j = jnp.asarray(xp)
         mi_j = jnp.asarray(min_intv)
-        cn, ck_dev, cl, cs_dev, ncand = round2_forward_kernel(
-            self.dfm, encj, ridp_j, xp_j, mi_j, ROUND2_MAX_CAND)
+        cn, ck_dev, cl, cs_dev, ncand = self._k_round2_forward(
+            encj, ridp_j, xp_j, mi_j, ROUND2_MAX_CAND)
         # ck/cs stay device-resident (int64 grids): the backward pass
         # gathers its lane inputs from them on device
         cn, ncand = jax.device_get((cn, ncand))
@@ -251,7 +381,7 @@ class DeviceBackend:
         nl = len(lane_piv)
         if nl == 0:
             return
-        M = bucket_pow2(nl, 64)
+        M = self._lane_pad(bucket_pow2(nl, 64))
         pad = M - nl
         # pad lanes point at a pad pivot slot (xp == 0 -> dead)
         piv_idx = np.concatenate([lane_piv,
@@ -263,9 +393,8 @@ class DeviceBackend:
         # never runs (see round2_backward_kernel)
         BWD_PHASE = 32
         steps, fk, fs, died, alive = jax.device_get(
-            round2_backward_kernel(
-                self.dfm, encj, ridp_j, xp_j,
-                ck_dev, cs_dev, jnp.asarray(piv_idx),
+            self._k_round2_backward(
+                encj, ridp_j, xp_j, ck_dev, cs_dev, jnp.asarray(piv_idx),
                 jnp.asarray(slot_idx), mi_j, BWD_PHASE))
         steps = steps[:nl].copy()
         fk = fk[:nl].copy()
@@ -274,7 +403,7 @@ class DeviceBackend:
         alive = alive[:nl]
         live_idx = np.nonzero(alive)[0]
         if len(live_idx):
-            Msub = bucket_pow2(len(live_idx), 64)
+            Msub = self._lane_pad(bucket_pow2(len(live_idx), 64))
             pad = Msub - len(live_idx)
             lane_p = piv_idx[live_idx]
             rid_s = np.concatenate([ridp[lane_p], np.zeros(pad, np.int32)])
@@ -287,8 +416,8 @@ class DeviceBackend:
             s_s = np.concatenate([fs[live_idx], np.ones(pad, np.int64)])
             # survivors already took BWD_PHASE steps, so at most
             # L - BWD_PHASE more can execute
-            st2 = jax.device_get(round2_backward_resume_kernel(
-                self.dfm, encj, jnp.asarray(rid_s), jnp.asarray(x_s),
+            st2 = jax.device_get(self._k_round2_resume(
+                encj, jnp.asarray(rid_s), jnp.asarray(x_s),
                 jnp.asarray(mi_s), jnp.asarray(col_s), jnp.asarray(k_s),
                 int(encj.shape[1]) - BWD_PHASE, jnp.asarray(s_s)))
             steps[live_idx] = st2[0][:len(live_idx)]
@@ -347,13 +476,13 @@ class DeviceBackend:
         n = len(positions)
         if n == 0:
             return np.zeros(0, np.int64)
-        M = bucket_pow2(n, 256)
+        M = self._lane_pad(bucket_pow2(n, 256))
         # pad with sampled slots (walk length 0) so the while_loop's trip
         # count is set by real lanes only
         pos = np.zeros((M,), np.int64)
         pos[:n] = positions
         with PROF("sa_lookup"):
-            out = sa_lookup_kernel(self.dfm, jnp.asarray(pos, jnp.int64))
+            out = self._k_sa_lookup(jnp.asarray(pos, jnp.int64))
             res = np.asarray(out)[:n]
         return res
 

@@ -138,12 +138,19 @@ class DeviceFMIndex:
     @classmethod
     def from_host(cls, fm: FMIndex, device=None,
                   lut: tuple | None = None) -> "DeviceFMIndex":
+        """device=None: default device; device="host": keep numpy leaves
+        (staging for parallel.shard_index, which device_puts each table
+        straight into its mesh layout — big tables never land whole on
+        one chip)."""
         occp, occ_hi = pack_occ_rows(fm.cp_count.astype(np.int64),
                                      fm.one_hot)
         has_hi = bool(occ_hi.any())
         if not has_hi:
             occ_hi = np.zeros(1, np.int32)
-        put = partial(jax.device_put, device=device)
+        if device == "host":
+            put = lambda x: np.asarray(x)  # noqa: E731
+        else:
+            put = partial(jax.device_put, device=device)
         lut_k = lut[0] if lut else np.zeros(1, np.int64)
         lut_s = lut[1] if lut else np.zeros(1, np.int64)
         ref = np.ascontiguousarray(fm.ref_string, np.uint8)

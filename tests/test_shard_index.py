@@ -110,6 +110,41 @@ def test_shard_memory_split(fm, dfm, mesh):
     assert per_dev <= total // 8 + 64 * 4
 
 
+def test_production_pipeline_sharded_index(mesh):
+    """The FULL production `mem` path (DeviceBackend(mesh=...) → Aligner →
+    run_pipeline) with the index genome-bucket-sharded over the 8-device
+    mesh: SAM output must be bit-identical to the replicated-index
+    backend.  This is the §5.8 deployment wired end to end, not the fused
+    demo step."""
+    import io
+    from bwamem2_tpu.align.pipeline import Aligner
+    from bwamem2_tpu.io.fastq import FastxReader
+    from bwamem2_tpu.options import MEM_F_PE, MemOptions
+    from bwamem2_tpu.ops.backend import DeviceBackend
+    from bwamem2_tpu.runtime import run_pipeline
+    from conftest import DATA
+
+    prefix = os.path.join(FIXTURES, "ref_small.fa")
+    fm2 = FMIndex.load(prefix)
+    fq1 = os.path.join(DATA, "reads_r1.fq")
+    fq2 = os.path.join(DATA, "reads_r2.fq")
+    opt = MemOptions().finalize()
+    opt.flag |= MEM_F_PE
+
+    def run(be):
+        al = Aligner(fm2, opt, backend=be, verbose=0)
+        out = io.StringIO()
+        n = run_pipeline(al, FastxReader(fq1), FastxReader(fq2), 30000,
+                         out, verbose=0, n_workers=2)
+        return n, out.getvalue()
+
+    n_rep, sam_rep = run(DeviceBackend(fm2, opt, index_prefix=prefix))
+    n_sh, sam_sh = run(DeviceBackend(fm2, opt, index_prefix=prefix,
+                                     mesh=mesh))
+    assert n_rep == n_sh and n_rep > 0
+    assert sam_rep == sam_sh
+
+
 def test_sharded_hi_plane_fused_gather(mesh):
     """has_hi index sharded over the mesh: the fused one-collective-round
     occp+occ_hi fetch (_dist_rows_fused) must equal the replicated path."""
