@@ -50,14 +50,87 @@ def ensure_data():
                        check=True)
 
 
+def _ref_rps(prefix, fq1, fq2, n_reads, reps=2):
+    """Best-of-N reference timing: this vCPU's throughput swings ~2x with
+    neighbor load, and the FASTEST observed run is the least-contended
+    (most favorable to the baseline, most honest for vs_baseline)."""
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        subprocess.run([REF_BIN, "mem", "-t", "1", prefix, fq1, fq2],
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                       check=True)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return n_reads / best
+
+
 def measure_baseline():
     if not os.path.exists(REF_BIN):
         return FALLBACK_BASELINE_RPS, "stored"
-    t0 = time.time()
-    subprocess.run([REF_BIN, "mem", "-t", "1", PREFIX, FQ1, FQ2],
-                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                   check=True)
-    return N_READS / (time.time() - t0), "measured"
+    return _ref_rps(PREFIX, FQ1, FQ2, N_READS), "measured"
+
+
+# ---------------------------------------------------------------------------
+# 240 Mbp scale config (chr1-class): the r3 verdict's genome-size-cliff
+# check.  Same 2x150bp PE shape, 5.14x the genome.  Generated (+ indexed)
+# on demand ~12 min one-time; skipped only if generation fails.
+# ---------------------------------------------------------------------------
+DIR_240M = os.path.join(REPO, ".tmp", "bench_240m")
+PREFIX_240M = os.path.join(DIR_240M, "genome.fa")
+# reference 1-thread e2e on this host at 240Mbp, 2026-08-20 (11.3s wall for
+# 20k reads, ~4.5s of it loading the 1.1GB index from disk)
+FALLBACK_BASELINE_240M_RPS = 1763.0
+
+
+def bench_240m(make_aligner):
+    """Returns extra JSON fields for the 240Mbp config (or {} if data
+    can't be built).  make_aligner(prefix) -> (aligner, opt)."""
+    fq1 = os.path.join(DIR_240M, "reads_r1.fq")
+    fq2 = os.path.join(DIR_240M, "reads_r2.fq")
+    if not (os.path.exists(PREFIX_240M + ".bwt.2bit.64")
+            and os.path.exists(fq1)):
+        print("[bench] generating 240Mbp dataset (one-time, ~12 min)",
+              file=sys.stderr)
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools",
+                                          "make_bench_data.py"),
+             "--dir", DIR_240M, "--scale", "5.14", "--pairs", "10000"])
+        if r.returncode != 0:
+            return {}
+    from bwamem2_tpu.io.fastq import FastxReader
+    from bwamem2_tpu.runtime import run_pipeline
+    al, n_expect = make_aligner(PREFIX_240M)
+    devnull = open(os.devnull, "w")
+
+    def one_pass():
+        t0 = time.time()
+        n = run_pipeline(al, FastxReader(fq1), FastxReader(fq2),
+                         TASK_BASES, devnull, verbose=0, n_workers=4)
+        assert n == n_expect
+        return time.time() - t0
+
+    one_pass()  # warm: compiles for this genome's shape/int-width buckets
+    runs = sorted(one_pass() for _ in range(3))
+    rps = n_expect / runs[1]
+    base = FALLBACK_BASELINE_240M_RPS
+    how = "stored"
+    ref_pref = os.path.join(DIR_240M, "ref.genome.fa")
+    if os.path.exists(REF_BIN):
+        if not os.path.exists(ref_pref + ".bwt.2bit.64"):
+            subprocess.run([REF_BIN, "index", "-p", ref_pref, PREFIX_240M],
+                           stderr=subprocess.DEVNULL, check=True)
+        base = _ref_rps(ref_pref, fq1, fq2, n_expect)
+        how = "measured"
+    print(f"[bench] 240Mbp: {rps:.0f} reads/s e2e ({runs[1]:.2f}s, "
+          f"{n_expect} reads); baseline ({how}) {base:.0f} reads/s",
+          file=sys.stderr)
+    return {
+        "scale_240m_rps": round(rps, 1),
+        "scale_240m_vs_baseline": round(rps / base, 4),
+        "scale_240m_baseline_1thread_rps": round(base, 1),
+        "scale_240m_reads": n_expect,
+    }
 
 
 def main():
@@ -104,6 +177,20 @@ def main():
     print(f"[bench] baseline (reference, 1 CPU thread, {how}): "
           f"{base:.0f} reads/s", file=sys.stderr)
 
+    # 240Mbp scale config (same backend construction, bigger genome)
+    def make_aligner(prefix):
+        fm2 = FMIndex.load(prefix)
+        opt2 = MemOptions().finalize()
+        opt2.flag |= MEM_F_PE
+        be2 = DeviceBackend(fm2, opt2, index_prefix=prefix)
+        return Aligner(fm2, opt2, backend=be2, verbose=0), N_READS
+
+    try:
+        extra = bench_240m(make_aligner)
+    except Exception as e:  # keep the primary metric robust
+        print(f"[bench] 240Mbp config failed: {e}", file=sys.stderr)
+        extra = {}
+
     print(json.dumps({
         "metric": "pe_2x150_chr21scale_reads_per_sec_1chip_e2e",
         "value": round(ours, 1),
@@ -114,6 +201,7 @@ def main():
         "host_cpu_s": round(cpu, 2),
         "device_wait_frac": round(1 - cpu / wall, 3),
         "reads": N_READS,
+        **extra,
     }))
 
 
