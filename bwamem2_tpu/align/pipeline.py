@@ -115,9 +115,12 @@ class Aligner:
             if (getattr(self.backend, "_bsw", None) is not None
                     and max_len <= getattr(self.backend,
                                            "MAX_DEVICE_READ_LEN", 0)):
-                # descriptor path active: in-cap pairs skip sequence copies
-                from ..ops.bsw import QCAP, TCAP
-                kw["device_caps"] = (QCAP, TCAP)
+                # descriptor path active: in-cap pairs skip sequence copies.
+                # The long class (sheared-band kernel) takes any tlen, so
+                # only qlen > LONG_QCAP pairs still need materialization
+                # for the host tail kernel
+                from ..ops.bsw import LONG_QCAP
+                kw["device_caps"] = (LONG_QCAP, 1 << 62)
         with PROF("extension.bsw"):
             regs_per_read = extend_mod.extend_chains(fm, opt, encs,
                                                      chains_per_read, **kw)

@@ -30,6 +30,15 @@ ROUND1_CAP = 24   # compact SMEM slots per read; overflow -> host oracle
 ROUND1_PIVOT_CAP = 48  # pivot-chain slots per read; overflow -> host oracle
 
 
+def pivot_cap(L: int) -> int:
+    """Round-1 pivot-chain slots per read, scaled to the (padded) read
+    length so pacbio/ont2d chunks stay on the device path: at ~10%% error
+    the pivot chain has one entry per SMEM (~L/18 observed), so L//8 slots
+    never overflow in practice; genuine overflows still fall back to the
+    exact host oracle.  Tied to the L bucket -> no extra compile variants."""
+    return ROUND1_PIVOT_CAP if L <= 512 else min(round_up(L // 8, 64), 4096)
+
+
 def _pad_reads(encs: list[np.ndarray], L: int | None = None):
     # bucket both dims so the jitted kernels compile once per bucket; L is
     # kept tight (multiple of 8) — seeding cost scales with iters * lanes
@@ -246,7 +255,7 @@ class DeviceBackend:
             # reference-shaped pivot chain (see round1_chain_kernel): the
             # per-pivot forward/backward passes reuse the round-2 kernels
             # with min_intv=1
-            r1 = self._k_round1_chain(encj, lensj, ROUND1_PIVOT_CAP)
+            r1 = self._k_round1_chain(encj, lensj, pivot_cap(L))
         else:
             r1 = round1_compact_kernel(
                 self.dfm, encj, lensj, self.lut_k_bits,
@@ -262,7 +271,7 @@ class DeviceBackend:
             npiv, px = jax.device_get(r1)
             npiv = npiv[:NR]
             px = px[:NR]
-            overflow_reads = np.nonzero(npiv > ROUND1_PIVOT_CAP)[0]
+            overflow_reads = np.nonzero(npiv > pivot_cap(L))[0]
             oflow = set(overflow_reads.tolist())
             PROF.count("overflow.r1_pivot_cap", len(overflow_reads), NR)
             pivots_r1 = [(rid, int(px[rid, j]), 1)

@@ -367,10 +367,271 @@ def _bsw_rows_narrow(q, t, qlen, tlen, h0, w_in, H0, E0, cols, qcols,
                       max_off], axis=1)
 
 
+def _bsw_shear_dp(qT, tT, qlen, tlen, h0, w_in, Wh: int, W: int,
+                  mat_a, mat_b, o_del: int, e_del: int, o_ins: int,
+                  e_ins: int, zdrop: int, end_bonus: int, max_sc: int):
+    """Diagonal-sheared banded extension for LONG pairs (the pacbio/ont2d
+    tail class).  Same per-row formulas as _bsw_dp, but the DP state is
+    stored along the BAND-OFFSET axis: frame index u at row i holds
+    absolute query column j = i - Wh + u, so a row costs O(2w+2) vector
+    lanes instead of O(qlen) — ~30x less work at 8kb reads with the
+    default w=100 band (bandedSWA.cpp:147 clamps the band the same way).
+
+    Layout is TRANSPOSED like the Pallas extension kernel: the band axis
+    lives on SUBLANES (axis 0) and the P pairs are the 128 VPU lanes
+    (axis 1), so the per-row query-window fetch is a dynamic slice along
+    the MAJOR axis — a minor-axis dynamic slice re-materializes an
+    O(P*qlen) select every row (measured ~1.5ms/row on v5e, 300x this
+    version).
+
+    The shear makes the diagonal move (i-1,j-1)->(i,j) purely vertical:
+    _bsw_dp's column-shifted H storage (H[j] = H_matrix[i-1][j-1]) maps to
+    an UNSHIFTED frame carry, while E (and the stale out-of-band cells)
+    shift by one frame slot per row; the cell entering at u = W-1 is the
+    row-0 initial value for its column, which no earlier row can have
+    written (writes reach at most i + w + 1 < j_enter).  Rows run under a
+    while_loop so a tile stops at its longest LIVE lane — lanes die at
+    z-drop, row-max 0, or the first empty band row (i ~ qlen + w).
+    Bit-identical to _bsw_dp / the scalar spec (tested).
+
+    qT: int8[Qmax, P] (4-padded), tT: int8[Tmax, P]; Wh = the static band
+    radius (>= every lane's clamped w), W = frame width >= 2*Wh + 2.
+    Returns int32[P, 6]: score qle tle gtle gscore max_off."""
+    Qmax, P = qT.shape
+    Tmax = tT.shape[0]
+    assert W >= 2 * Wh + 2
+    oe_del = o_del + e_del
+    oe_ins = o_ins + e_ins
+
+    # query window source: qpadT[i + u, :] = q[j] for j = i - Wh + u.
+    # The barrier forces the (possibly gather-producing) tile to be
+    # materialized ONCE: otherwise XLA fuses it into the row loop and the
+    # per-row window slice re-gathers O(P*W) elements every row (measured
+    # 5.5ms/row at P=1024, Q=8192 — 300x this version).
+    qpadT = jnp.concatenate(
+        [jnp.full((Wh, P), 4, qT.dtype), qT, jnp.full((W, P), 4, qT.dtype)],
+        axis=0)
+    qpadT, tT = jax.lax.optimization_barrier((qpadT, tT))
+    us = jnp.arange(W, dtype=I32)[:, None]                     # (W, 1)
+    h0i = h0.astype(I32)
+    qlen_r = qlen[None, :]                                     # (1, P)
+
+    def init_col(j):
+        # row-0 eh[] init (bandedSWA.cpp:139-146): H[0]=h0, decay, 0 past
+        # qlen; j broadcasts against the (1, P) per-lane h0/qlen
+        v = jnp.where(j == 0, h0i[None, :],
+                      jnp.maximum(h0i[None, :] - oe_ins - (j - 1) * e_ins,
+                                  0))
+        return jnp.where((j >= 0) & (j <= qlen_r), v, 0).astype(I32)
+
+    # initial frame: row 0 reads abs cols u - Wh
+    H = init_col(us - Wh)
+    E = jnp.zeros((W, P), I32)
+
+    # per-lane band clamp (identical to _bsw_dp)
+    max_ins = jnp.floor((qlen * max_sc + end_bonus - o_ins) / e_ins + 1.0) \
+        .astype(I32)
+    max_del = jnp.floor((qlen * max_sc + end_bonus - o_del) / e_del + 1.0) \
+        .astype(I32)
+    w = jnp.minimum(w_in, jnp.maximum(max_ins, 1))
+    w = jnp.minimum(w, jnp.maximum(max_del, 1))
+
+    mx = h0i
+    max_i = jnp.full((P,), -1, I32)
+    max_j = jnp.full((P,), -1, I32)
+    max_ie = jnp.full((P,), -1, I32)
+    gscore = jnp.full((P,), -1, I32)
+    max_off = jnp.zeros((P,), I32)
+    beg = jnp.zeros((P,), I32)
+    end = qlen.astype(I32)
+    done = tlen <= 0
+
+    def cond(st):
+        (i, H, E, mx, max_i, max_j, max_ie, gscore, max_off, beg, end,
+         done) = st
+        return (i < Tmax) & jnp.any(~done & (i < tlen))
+
+    def row_body(st):
+        (i, H, E, mx, max_i, max_j, max_ie, gscore, max_off, beg, end,
+         done) = st
+        act_row = ~done & (i < tlen)
+        beg_r = jnp.maximum(beg, i - w)
+        end_r = jnp.minimum(jnp.minimum(end, i + w + 1), qlen)
+        jcols = (i - Wh) + us                                   # (W, 1)
+        qrow = jax.lax.dynamic_slice_in_dim(qpadT, i, W, axis=0) \
+            .astype(I32)                                        # (W, P)
+        ti = jax.lax.dynamic_slice_in_dim(
+            tT, jnp.minimum(i, Tmax - 1), 1, axis=0)[0].astype(I32)  # (P,)
+        h1_0 = jnp.where(beg_r == 0,
+                         jnp.maximum(h0i - (o_del + e_del * (i + 1)), 0),
+                         0).astype(I32)
+
+        band = (jcols >= beg_r[None, :]) & (jcols < end_r[None, :])
+        s_ij = jnp.where((ti[None, :] >= 4) | (qrow >= 4), -1,
+                         jnp.where(ti[None, :] == qrow, mat_a,
+                                   -mat_b)).astype(I32)
+        Mv = jnp.where(H != 0, H + s_ij, 0)
+        u = jnp.where(band, jnp.maximum(Mv - oe_ins, 0) + jcols * e_ins,
+                      NEG_BIG)
+        upre = jnp.concatenate([jnp.full((1, P), NEG_BIG, I32),
+                                jax.lax.cummax(u, axis=0)[:-1]], axis=0)
+        fv = upre - jnp.maximum(jcols - 1, 0) * e_ins
+        hv = jnp.maximum(jnp.maximum(Mv, E), fv)
+        hv = jnp.where(band, hv, 0)
+        m = jnp.max(hv, axis=0)
+        is_max = band & (hv == m[None, :])
+        mj = jnp.max(jnp.where(is_max, jcols, -1), axis=0)
+        mj = jnp.where(act_row & (m > 0), mj, -1)
+        # h1 at the band end: hv at abs col end_r - 1 (frame end_r-1-i+Wh)
+        eidx = jnp.clip(end_r - 1 - i + Wh, 0, W - 1)
+        h1_sel = jnp.max(jnp.where(us == eidx[None, :], hv, 0), axis=0)
+        h1_end = jnp.where(end_r > beg_r, h1_sel, h1_0)
+        Enew = jnp.maximum(E - e_del, jnp.maximum(Mv - oe_del, 0))
+
+        # post-write frames in ROW-i coordinates (abs col j = i - Wh + u):
+        # H_after[j] = h1_0 at j==beg_r else hv[j-1], for j in [beg_r,end_r]
+        hv_sr = jnp.concatenate([hv[:1], hv[:-1]], axis=0)
+        wr_h = act_row[None, :] & (jcols >= beg_r[None, :]) \
+            & (jcols <= end_r[None, :])
+        H_after = jnp.where(
+            wr_h, jnp.where(jcols == beg_r[None, :], h1_0[None, :], hv_sr),
+            H)
+        wr_e = act_row[None, :] & band
+        E_after = jnp.where(wr_e, Enew, E)
+        E_after = jnp.where(act_row[None, :] & (jcols == end_r[None, :]),
+                            0, E_after)
+
+        # gscore bookkeeping when the row spans the full query
+        full = act_row & (end_r == qlen)
+        max_ie = jnp.where(full & (gscore <= h1_end), i, max_ie)
+        gscore = jnp.where(full, jnp.maximum(gscore, h1_end), gscore)
+        m = jnp.where(act_row, m, 0)
+        mj = jnp.where(act_row, mj, -1)
+
+        newly_done = act_row & (m == 0)
+        upd = act_row & (m > mx)
+        off = jnp.abs(mj - i)
+        max_off = jnp.where(upd, jnp.maximum(max_off, off), max_off)
+        mx2 = jnp.where(upd, m, mx)
+        max_i = jnp.where(upd, i, max_i)
+        max_j = jnp.where(upd, mj, max_j)
+        if zdrop > 0:
+            del_case = (i - max_i) > (mj - max_j)
+            zd = jnp.where(
+                del_case,
+                mx - m - ((i - max_i) - (mj - max_j)) * e_del > zdrop,
+                mx - m - ((mj - max_j) - (i - max_i)) * e_ins > zdrop)
+            newly_done = newly_done | (act_row & ~upd & ~(m == 0) & zd)
+        mx = mx2
+
+        # band shrink to the nonzero region over the post-write frames
+        nz = (H_after != 0) | (E_after != 0)
+        inA = band & nz
+        first = jnp.min(jnp.where(inA, jcols, Qmax + Wh + 2), axis=0)
+        beg_n = jnp.minimum(first, end_r)
+        inB = (jcols >= beg_r[None, :]) & (jcols <= end_r[None, :]) & nz
+        last = jnp.max(jnp.where(inB, jcols, beg_r[None, :] - 1), axis=0)
+        end_n = jnp.minimum(last + 2, qlen)
+
+        keep = act_row & ~newly_done
+        beg = jnp.where(keep, beg_n, beg_r)
+        end = jnp.where(keep, end_n, end_r)
+        done = done | newly_done
+
+        # shift to the row-(i+1) frame; the entering column is row-0 fresh
+        enter = init_col(jnp.reshape(i + W - Wh, (1, 1)))
+        enter = jnp.broadcast_to(enter, (1, P))
+        H = jnp.concatenate([H_after[1:], enter], axis=0)
+        E = jnp.concatenate([E_after[1:], jnp.zeros((1, P), I32)],
+                            axis=0)
+        return (i + 1, H, E, mx, max_i, max_j, max_ie, gscore, max_off,
+                beg, end, done)
+
+    st = (jnp.int32(0), H, E, mx, max_i, max_j, max_ie, gscore, max_off,
+          beg, end, done)
+    st = jax.lax.while_loop(cond, row_body, st)
+    (_, _, _, mx, max_i, max_j, max_ie, gscore, max_off, _, _, _) = st
+    return jnp.stack([mx, max_j + 1, max_i + 1, max_ie + 1, gscore,
+                      max_off], axis=1)
+
+
+@partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16, 17))
+def bsw_shear_kernel(q, t, qlen, tlen, h0, w_in, mat_a, mat_b,
+                     Wh: int, W: int, o_del: int, e_del: int, o_ins: int,
+                     e_ins: int, zdrop: int, end_bonus: int, max_sc: int,
+                     _pad: int = 0):
+    """Sheared-band extension over materialized tiles (test surface)."""
+    return _bsw_shear_dp(q.T, t.T, qlen, tlen, h0, w_in, Wh, W, mat_a,
+                         mat_b, o_del, e_del, o_ins, e_ins, zdrop,
+                         end_bonus, max_sc)
+
+
+@partial(jax.jit,
+         static_argnums=(10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21,
+                         22, 23, 24))
+def bsw_shear_desc_kernel(ref, enc, qoff, qdir, qlen, toff, tdir, tlen, h0,
+                          w_in, Wh: int, W: int, Qmax: int, Tmax: int,
+                          mat_a: int, mat_b: int,
+                          o_del: int, e_del: int, o_ins: int, e_ins: int,
+                          zdrop: int, end_bonus: int, max_sc: int,
+                          ref_packed: bool = False, _pad: int = 0):
+    """Sheared-band extension from descriptors (the long tail of
+    bsw_desc_kernel): sequences are gathered on device exactly as there —
+    directly in the kernel's transposed (seq-position, lane) layout — then
+    the banded DP runs over the 2*Wh+2-wide sheared frame."""
+    N, L = enc.shape
+    enc_flat = enc.reshape(-1).astype(jnp.int8)
+    jidx = jnp.arange(Qmax, dtype=I32)[:, None]
+    qpos = qoff[None, :] + qdir[None, :] * jidx
+    qT = jnp.where(jidx < qlen[None, :],
+                   enc_flat[jnp.clip(qpos, 0, N * L - 1)],
+                   jnp.int8(4))
+    from .device_index import take_ref
+    iidx = jnp.arange(Tmax, dtype=jnp.int64)[:, None]
+    tpos = toff[None, :] + tdir[None, :].astype(jnp.int64) * iidx
+    tT = jnp.where(iidx < tlen[None, :],
+                   take_ref(ref, tpos, ref_packed).astype(jnp.int8),
+                   jnp.int8(4))
+    return _bsw_shear_dp(qT, tT, qlen, tlen, h0, w_in, Wh, W, mat_a, mat_b,
+                         o_del, e_del, o_ins, e_ins, zdrop, end_bonus,
+                         max_sc)
+
+
 # hard caps: pairs beyond this go to the host kernel (the reference's
 # scalar tail class); actual tile dims are the batch maxima rounded up
 QCAP, TCAP = 256, 608
 MAX_BAND_TRY_DEV = 2   # band-doubling rounds (bwamem.cpp:51 MAX_BAND_TRY)
+
+# long class (pacbio/ont2d): pairs beyond (QCAP, TCAP) with qlen under this
+# run on the sheared-band kernel; rows stop at min(tlen, qlen + w + 2) (the
+# first empty-band row kills the lane), so tlen needs no cap at all
+LONG_QCAP = 32768
+LONG_T_LADDER = (768, 1536, 3072, 6144, 12288, 24576, LONG_QCAP + 512)
+LONG_Q_LADDER = (512, 1024, 2048, 4096, 8192, 16384, LONG_QCAP)
+
+
+def long_classes(qls: np.ndarray, tls: np.ndarray, idxs, w: int) -> list:
+    """(Q, T, idx_array) groups for the sheared long class, keyed by the
+    EFFECTIVE row count min(tlen, qlen + w + 2) — rows past the last
+    possible in-band row never run, so a tlen >> qlen pair is cheap."""
+    idxs = np.asarray(idxs)
+    eff = np.minimum(tls[idxs], qls[idxs] + w + 2)
+    rung = np.searchsorted(LONG_T_LADDER, eff)
+    out = []
+    for r in range(len(LONG_T_LADDER) + 1):
+        sel = idxs[rung == r]
+        if not len(sel):
+            continue
+        qmax = int(qls[sel].max())
+        Q = LONG_Q_LADDER[int(np.searchsorted(LONG_Q_LADDER, qmax))]
+        if r < len(LONG_T_LADDER):
+            T = LONG_T_LADDER[r]
+        else:
+            # a huge user -w can push eff past the top rung: one dynamic
+            # rung (1024-quantized to bound compile variants)
+            T = int(-(-int(eff[rung == r].max()) // 1024)) * 1024
+        out.append((Q, T, sel))
+    return out
 
 
 def t_classes(qls: np.ndarray, tls: np.ndarray, idxs) -> list:
@@ -446,12 +707,18 @@ class DeviceBSW:
             (p.tlen if p.tlen >= 0 else len(p.ref) for p in pending),
             np.int32, n)
         fits = (qls <= QCAP) & (tls <= TCAP)
-        host_idx = np.nonzero(~fits)[0].tolist()
+        use_desc = self.encj is not None and all(
+            p.qdir != 0 for p in pending)
+        # long class: descriptor pairs beyond the short tiles run on the
+        # sheared-band kernel (pacbio/ont2d); only qlen > LONG_QCAP (or a
+        # chunk with no device read grid) still reaches the host kernel
+        fits_long = (~fits & (qls <= LONG_QCAP)) if use_desc \
+            else np.zeros(n, bool)
+        host_idx = np.nonzero(~fits & ~fits_long)[0].tolist()
         from ..utils.profiling import PROF
         PROF.count("overflow.bsw_host_tail", len(host_idx), n)
         dev_idx = np.nonzero(fits)[0]
-        use_desc = self.encj is not None and all(
-            p.qdir != 0 for p in pending)
+        long_idx = np.nonzero(fits_long)[0]
         # one tile sized to the batch maxima: a single kernel dispatch per
         # side instead of one per static bucket (DP rows = Tmax, so tight
         # Tmax also trims the row loop)
@@ -524,6 +791,38 @@ class DeviceBSW:
                              h0_cap_bucket(
                                  int(h0[: len(idxs)].max(initial=0))))
             flights.append((idxs, res))
+        if len(long_idx):
+            Wh = int(w)
+            Wfr = round_up(2 * Wh + 2, 128)
+            L = self.encj.shape[1]
+            for Q, T, sel in long_classes(qls, tls, long_idx, Wh):
+                P = bucket_pow2(len(sel), 64)
+                qoff = np.zeros((P,), np.int32)
+                qdir = np.zeros((P,), np.int32)
+                qlen = np.zeros((P,), np.int32)
+                toff = np.zeros((P,), np.int64)
+                tdir = np.zeros((P,), np.int32)
+                tlen = np.zeros((P,), np.int32)
+                h0 = np.zeros((P,), np.int32)
+                for r, i in enumerate(sel):
+                    p = pending[i]
+                    qoff[r] = p.seqid * L + p.qoff
+                    qdir[r] = p.qdir
+                    qlen[r] = qls[i]
+                    toff[r] = p.toff
+                    tdir[r] = p.tdir
+                    tlen[r] = tls[i]
+                    h0[r] = p.h0
+                res = bsw_shear_desc_kernel(
+                    self.dfm.ref, self.encj, jnp.asarray(qoff),
+                    jnp.asarray(qdir), jnp.asarray(qlen),
+                    jnp.asarray(toff), jnp.asarray(tdir),
+                    jnp.asarray(tlen), jnp.asarray(h0),
+                    jnp.full((P,), w, np.int32), Wh, Wfr, Q, T,
+                    opt.a, opt.b, opt.o_del, opt.e_del, opt.o_ins,
+                    opt.e_ins, opt.zdrop, end_bonus, self.max_sc,
+                    self.dfm.ref_packed)
+                flights.append((sel.tolist(), res))
         for (idxs, _), resh in zip(flights,
                                    jax.device_get([f[1] for f in flights])):
             out[np.array(idxs)] = resh[: len(idxs)]

@@ -5,7 +5,7 @@ body under pallas interpret mode on the CPU suite so the DP logic (band
 clamp/shrink, z-drop, rightmost-tie argmax, gscore, transposed layout,
 early-exit block loop) stays covered.  The compiled path is additionally
 verified bit-identical on hardware (README "Pallas extension kernel";
-.tmp/test_pallas_parity.py is the on-TPU harness).
+tools/pallas_parity_hw.py is the on-TPU harness).
 
 Behavioral spec: bandedSWA.cpp:116-237 (scalarBandedSWA == ksw_extend2).
 """

@@ -104,3 +104,24 @@ def test_1g2_int64_differential():
     assert 2 * bns.l_pac > 2**31, "config must exercise >32-bit coordinates"
     _diff_indexes(fa, ref_pref)
     _map_both(work, fa, ref_pref)
+
+
+@pytest.mark.skipif(
+    not (os.environ.get("BWAMEM2_TPU_HUMAN_TESTS")
+         and os.path.exists(REF_BIN)),
+    reason="3.1Gbp GRCh38-class tier (set BWAMEM2_TPU_HUMAN_TESTS=1, needs "
+           ".refbuild; ~5h + ~90GB RAM on first run)")
+def test_3g1_human_scale_differential():
+    """GRCh38-class differential: 3.1Gbp genome, byte-identical index files
+    both directions and bit-identical SAM on 10k 2x150bp PE reads vs the
+    reference binary (the scale of its ~88-billion-read validation,
+    NEWS.md:10).  Both index builds and the reference mem run are hours on
+    one core; artifacts cache under .tmp/human_3g1 (tools/human_diff.sh
+    drives the same steps incrementally with per-stage logs)."""
+    work = os.path.join(REPO, ".tmp", "human_3g1")
+    fa, ref_pref = _build_both(work, 66.4, 5000)   # 3.10 Gbp
+    from bwamem2_tpu.index.io import read_ann_amb
+    bns = read_ann_amb(fa)
+    assert bns.l_pac > 3_000_000_000, "config must be GRCh38-scale"
+    _diff_indexes(fa, ref_pref)
+    _map_both(work, fa, ref_pref)
