@@ -242,7 +242,11 @@ class DeviceBackend:
             lensj = jnp.asarray(lens)
         if self._bsw is not None:
             # extension kernels gather query sequences from this chunk's
-            # device-resident read grid (descriptor path, ops/bsw.py)
+            # device-resident read grid (descriptor path, ops/bsw.py).
+            # The descriptor kernels flatten (seqid, qoff) to seqid*L+qoff
+            # in int32 — guard the precondition here, at attach time
+            assert N * L < 2**31, \
+                f"read grid {N}x{L} overflows int32 flat offsets"
             self._bsw.encj = encj
 
         per_read: list[list[tuple]] = [[] for _ in encs]

@@ -829,6 +829,16 @@ class DeviceBSW:
         if host_idx:
             from ..align.extend import native_bsw_kernel_factory
             sub = [pending[i] for i in host_idx]
+            # pairs produced under device_caps=(LONG_QCAP, inf) arrive
+            # unmaterialized (ref/qer None); they must have been routed to
+            # the device long class above.  A caps/use_desc mismatch (e.g.
+            # a future producer emitting qdir==0 into the same batch) must
+            # fail loudly at this boundary, not deep in the native kernel
+            for p in sub:
+                assert p.ref is not None and p.qer is not None, (
+                    "unmaterialized pair reached the host tail kernel: "
+                    f"qlen={p.qlen} tlen={p.tlen} qdir={p.qdir} "
+                    "(device_caps/use_desc mismatch)")
             attr = "pen_clip5" if end_bonus == opt.pen_clip5 else "pen_clip3"
             res = native_bsw_kernel_factory(attr)(sub, w, opt)
             out[np.array(host_idx)] = res

@@ -250,6 +250,43 @@ def test_pivot_cap_scales_with_read_length():
     assert pivot_cap(32000) <= 4096
 
 
+def test_long_read_golden_device_path_mini():
+    """Default-tier slice of the gated golden below: the 4 shortest
+    committed pacbio reads (2.1-2.9kb, ~10% error) through the FULL
+    DeviceBackend pipeline, SAM bit-identical to the reference binary,
+    zero host-tail extensions.  Long-read SAM records are per-read
+    independent under the SE pacbio preset, so the subset golden is a
+    line-filter of the committed one; only the small shear-ladder rungs
+    compile, keeping this in the always-on tier (r4 ADVICE item 3)."""
+    from bwamem2_tpu.align.pipeline import Aligner
+    from bwamem2_tpu.index.fmindex import FMIndex
+    from bwamem2_tpu.io.fastq import FastxReader, read_chunk
+    from bwamem2_tpu.options import MemOptions
+    from bwamem2_tpu.ops.backend import DeviceBackend
+    from bwamem2_tpu.utils.profiling import PROF
+
+    keep = {"pb_17", "pb_3", "pb_21", "pb_14"}
+    fm = FMIndex.load(PREFIX)
+    opt = MemOptions().finalize("pacbio")
+    allreads = read_chunk(
+        FastxReader(os.path.join(DATA, "reads_pacbio.fq")), None, 10**9)
+    picked = [(i, r) for i, r in enumerate(allreads) if r.name in keep]
+    assert len(picked) == len(keep)
+    PROF.c.pop("overflow.bsw_host_tail", None)
+    be = DeviceBackend(fm, opt)
+    al = Aligner(fm, opt, backend=be, verbose=0)
+    # hash_64 tie-breaking keys off the global read id: process each read
+    # at its original file position so records match the full-run golden
+    for i, r in picked:
+        al.process([r], i)
+    ours = "".join(r.sam for _, r in picked).splitlines(keepends=True)
+    with open(os.path.join(FIXTURES, "golden_pacbio.sam")) as f:
+        golden = [l for l in f if not l.startswith("@")
+                  and l.split("\t", 1)[0] in keep]
+    assert ours == golden
+    assert PROF.c.get("overflow.bsw_host_tail", 0) == 0
+
+
 @pytest.mark.skipif(
     not os.environ.get("BWAMEM2_TPU_SLOW_TESTS"),
     reason="full pacbio golden through the device path (~8 min CPU-XLA "
