@@ -56,12 +56,20 @@ class Aligner:
     def kernel1(self, encs, opt):
         fm = self.fm
         if self.backend is not None:
-            smems_per_read = self.backend.collect_smems(encs, opt)
-            # batch-resolve every read's SA positions in one device call,
-            # then chain the whole chunk in the native C++ port
-            (allpos, smem_off, smem_m, smem_n, smem_s,
-             occ_off) = chain_mod.sa_positions_batch(opt, smems_per_read)
-            coords = self.backend.sa_lookup(allpos)
+            flat = None
+            if hasattr(self.backend, "collect_chunk"):
+                # fused single-fetch seeding + SA (ops/seedall)
+                flat = self.backend.collect_chunk(encs, opt)
+            if flat is not None:
+                (smem_off, smem_m, smem_n, smem_s, occ_off, coords) = flat
+            else:
+                smems_per_read = self.backend.collect_smems(encs, opt)
+                # batch-resolve every read's SA positions in one device
+                # call, then chain the whole chunk in the native C++ port
+                (allpos, smem_off, smem_m, smem_n, smem_s,
+                 occ_off) = chain_mod.sa_positions_batch(opt,
+                                                         smems_per_read)
+                coords = self.backend.sa_lookup(allpos)
             if self.native_rt and self._flat_ext_ok(encs, opt):
                 # flat survivor arrays straight into the native extension
                 with PROF("chaining"):

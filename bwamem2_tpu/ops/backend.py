@@ -208,6 +208,200 @@ class DeviceBackend:
         return fn(self.dfm, posj)
 
     # ------------------------------------------------------------------
+    # fused SMEM collection + SA resolution (ops/seedall): one dispatch
+    # chain + ONE fetch per chunk, flat arrays straight to the chainer
+    # ------------------------------------------------------------------
+    _seeder = None
+    FUSED_MAX_LEN = 512   # longer reads use the legacy per-stage path
+
+    def collect_chunk(self, encs: list[np.ndarray], opt):
+        """Fused seeding: returns (smem_off, m, n, s, occ_off, coords)
+        ready for the native chainer — the one-fetch replacement for
+        collect_smems + chain.sa_positions_batch + sa_lookup.  Returns
+        None when the fused path doesn't apply (mesh mode, long reads,
+        oversized chunks); the caller then uses the legacy path."""
+        if self.mesh is not None or not self.pivot_seeding:
+            return None
+        Lmax = max((len(e) for e in encs), default=0)
+        if Lmax == 0 or Lmax > self.FUSED_MAX_LEN:
+            return None
+        enc, lens = _pad_reads(encs)
+        N, L = enc.shape
+        if N > 16384:
+            return None
+        NR = len(encs)
+        if self._device is not None:
+            encj = jax.device_put(enc, self._device)
+            lensj = jax.device_put(lens, self._device)
+        else:
+            encj = jnp.asarray(enc)
+            lensj = jnp.asarray(lens)
+        if self._bsw is not None:
+            assert N * L < 2**31
+            self._bsw.encj = encj
+        if self._seeder is None:
+            from .seedall import FusedSeeder
+            self._seeder = FusedSeeder(self.fm, self.dfm)
+        with PROF("seeding.fused"):
+            out, cp = self._seeder.run(encj, lensj, opt)
+        with PROF("seeding.assemble"):
+            return self._assemble_chunk(out, cp, encs, NR, opt)
+
+    def _assemble_chunk(self, out, cp, encs, NR: int, opt):
+        (rid_s, m_s, n_s, s_s, k_s, nsm, coords, npos,
+         ovp_rid, ovp_x, ovp_mi, n_ovp, ov_read2, ov_read) = out
+        nsm = int(nsm)
+        npos = int(npos)
+        n_ovp = min(int(n_ovp), cp["OVCAP"])
+        used = min(nsm, cp["SCAP"])
+        rid_u = np.asarray(rid_s[:used], np.int64)
+        m_u = np.asarray(m_s[:used], np.int32)
+        n_u = np.asarray(n_s[:used], np.int32)
+        s_u = np.asarray(s_s[:used], np.int64)
+        cnt = np.minimum(s_u, opt.max_occ)
+
+        # whole-read fallbacks: device-side capacity overflows + truncated
+        # SCAP/OCAP suffixes (arrays are rid-sorted, so cuts are suffixes)
+        bad = np.zeros(NR, bool)
+        bad |= np.asarray(ov_read[:NR])
+        bad |= np.asarray(ov_read2[:NR])
+        trunc_rid = None
+        if nsm > cp["SCAP"]:
+            trunc_rid = int(rid_u[-1])
+        if npos > cp["OCAP"]:
+            cum = np.cumsum(cnt)
+            cut = int(np.searchsorted(cum, cp["OCAP"], "right"))
+            trunc_rid_o = int(rid_u[min(cut, used - 1)])
+            trunc_rid = trunc_rid_o if trunc_rid is None \
+                else min(trunc_rid, trunc_rid_o)
+        if trunc_rid is not None:
+            bad[trunc_rid:] = True
+        PROF.count("overflow.fused_read", int(bad.sum()), NR)
+        PROF.count("overflow.fused_pivot", n_ovp)
+
+        if not bad.any() and n_ovp == 0:
+            smem_off = np.searchsorted(rid_u, np.arange(NR + 1))
+            occ_off = np.zeros(used + 1, np.int64)
+            np.cumsum(cnt, out=occ_off[1:])
+            coords_u = np.asarray(coords[:npos], np.int64)
+            return (smem_off.astype(np.int64), m_u, n_u, s_u, occ_off,
+                    coords_u)
+        return self._patch_chunk(encs, NR, opt, bad, rid_u, m_u, n_u,
+                                 s_u, np.asarray(k_s[:used], np.int64),
+                                 cnt, coords, npos,
+                                 np.asarray(ovp_rid[:n_ovp], np.int64),
+                                 np.asarray(ovp_x[:n_ovp], np.int64),
+                                 np.asarray(ovp_mi[:n_ovp], np.int64))
+
+    def _patch_chunk(self, encs, NR, opt, bad, rid_u, m_u, n_u, s_u, k_u,
+                     cnt, coords, npos, ovp_rid, ovp_x, ovp_mi):
+        """Merge the exact native oracle's output for overflowed pivots /
+        reads into the device arrays (the fused path's analog of the r4
+        per-pivot oracle fallback)."""
+        from ..native import hostrt
+        from ..align.chain import sa_positions_batch
+        keep = (ovp_rid >= 0) & (ovp_rid < NR)
+        keep &= ~bad[np.clip(ovp_rid, 0, NR - 1)]
+        ovp_rid, ovp_x, ovp_mi = (a[keep] for a in (ovp_rid, ovp_x,
+                                                    ovp_mi))
+        extra: dict[int, list] = {}
+        # round-1 pivots (min_intv == 1): oracle, then derive + oracle the
+        # round-2 re-seed pivots from their emissions (split rule)
+        is1 = ovp_mi == 1
+        if is1.any():
+            out1 = hostrt.smems_pivots(self.fm, encs, ovp_rid[is1],
+                                       ovp_x[is1], ovp_mi[is1],
+                                       opt.min_seed_len)
+            split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+            r2r, r2x, r2m = [], [], []
+            for t in out1:
+                extra.setdefault(t[0], []).append(t)
+                if (t[2] + 1 - t[1]) >= split_len \
+                        and t[5] <= opt.split_width:
+                    r2r.append(t[0])
+                    r2x.append((t[2] + 1 + t[1]) >> 1)
+                    r2m.append(t[5] + 1)
+            if r2r:
+                for t in hostrt.smems_pivots(
+                        self.fm, encs, np.array(r2r, np.int32),
+                        np.array(r2x, np.int32), np.array(r2m, np.int64),
+                        opt.min_seed_len):
+                    extra.setdefault(t[0], []).append(t)
+        if (~is1).any():
+            for t in hostrt.smems_pivots(self.fm, encs, ovp_rid[~is1],
+                                         ovp_x[~is1], ovp_mi[~is1],
+                                         opt.min_seed_len):
+                extra.setdefault(t[0], []).append(t)
+
+        badidx = np.nonzero(bad)[0]
+        whole = {}
+        if len(badidx):
+            sub = hostrt.collect_smems_reads(
+                self.fm, [encs[r] for r in badidx], opt)
+            for r, lst in zip(badidx.tolist(), sub):
+                whole[r] = [(r,) + t[1:] for t in lst]
+        patched = sorted(set(extra) | set(whole))
+
+        smem_off0 = np.searchsorted(rid_u, np.arange(NR + 1))
+        occ_off0 = np.zeros(len(rid_u) + 1, np.int64)
+        np.cumsum(cnt, out=occ_off0[1:])
+        coords_np = np.asarray(coords[:npos], np.int64)
+
+        # merged per-read tuple lists for patched reads; their SA
+        # positions re-expand + resolve in ONE extra device call
+        merged = {}
+        for r in patched:
+            if r in whole:
+                merged[r] = whole[r]
+                continue
+            a, b = int(smem_off0[r]), int(smem_off0[r + 1])
+            dev = [(r, int(m_u[i]), int(n_u[i]), int(k_u[i]), 0,
+                    int(s_u[i])) for i in range(a, b)]
+            dev += extra[r]
+            dev.sort(key=lambda t: (t[1] << 32) | t[2])
+            merged[r] = dev
+        # fixed-floor bucket: patch batches vary chunk to chunk and would
+        # otherwise mint a fresh XLA compile per new bucket size
+        (allpos_p, off_p, m_p, n_p, s_p, occ_p) = sa_positions_batch(
+            opt, [merged[r] for r in patched])
+        coords_p = self.sa_lookup(allpos_p, lo=16384)
+
+        # splice: device segments for clean reads, oracle-merged segments
+        # for patched reads
+        Ms, Ns, Ss, Cs = [], [], [], []
+        smem_off = np.zeros(NR + 1, np.int64)
+        occ_off_parts = []
+        pmap = {r: i for i, r in enumerate(patched)}
+        tot_s = 0
+        for r in range(NR):
+            if r in pmap:
+                i = pmap[r]
+                a, b = int(off_p[i]), int(off_p[i + 1])
+                Ms.append(m_p[a:b])
+                Ns.append(n_p[a:b])
+                Ss.append(s_p[a:b])
+                Cs.append(coords_p[int(occ_p[a]):int(occ_p[b])])
+                tot_s += b - a
+            else:
+                a, b = int(smem_off0[r]), int(smem_off0[r + 1])
+                Ms.append(m_u[a:b])
+                Ns.append(n_u[a:b])
+                Ss.append(s_u[a:b])
+                Cs.append(coords_np[int(occ_off0[a]):int(occ_off0[b])])
+                tot_s += b - a
+            smem_off[r + 1] = tot_s
+        m_f = np.concatenate(Ms) if Ms else np.zeros(0, np.int32)
+        n_f = np.concatenate(Ns) if Ns else np.zeros(0, np.int32)
+        s_f = np.concatenate(Ss) if Ss else np.zeros(0, np.int64)
+        c_f = np.concatenate(Cs) if Cs else np.zeros(0, np.int64)
+        cnt_f = np.minimum(s_f, opt.max_occ)
+        occ_off = np.zeros(len(s_f) + 1, np.int64)
+        np.cumsum(cnt_f, out=occ_off[1:])
+        assert occ_off[-1] == len(c_f)
+        return (smem_off, m_f.astype(np.int32), n_f.astype(np.int32),
+                s_f.astype(np.int64), occ_off, c_f)
+
+    # ------------------------------------------------------------------
     # SMEM collection (3 rounds)
     # ------------------------------------------------------------------
     MAX_DEVICE_READ_LEN = 32000  # device kernels carry int16 coordinates
@@ -485,11 +679,11 @@ class DeviceBackend:
     # ------------------------------------------------------------------
     # batched SA lookup
     # ------------------------------------------------------------------
-    def sa_lookup(self, positions: np.ndarray) -> np.ndarray:
+    def sa_lookup(self, positions: np.ndarray, lo: int = 256) -> np.ndarray:
         n = len(positions)
         if n == 0:
             return np.zeros(0, np.int64)
-        M = self._lane_pad(bucket_pow2(n, 256))
+        M = self._lane_pad(bucket_pow2(n, lo))
         # pad with sampled slots (walk length 0) so the while_loop's trip
         # count is set by real lanes only
         pos = np.zeros((M,), np.int64)

@@ -1,0 +1,437 @@
+"""Fused seeding: all 3 SMEM rounds + SA resolution, ONE fetch per chunk.
+
+The r4 pipeline ran seeding as ~10 host-orchestrated dispatches per chunk
+(round-1 chain -> fetch pivots -> round-2 forward -> fetch counts -> flatten
+candidates on host -> backward -> fetch -> resume -> fetch -> emit on host ->
+select round-2 pivots on host -> repeat -> round 3 fetch -> python tuple
+assembly -> SA-position expansion on host -> SA dispatch -> fetch coords).
+On a tunneled device every one of those syncs costs ~27ms of latency plus
+device->host bytes at ~25MB/s, and the host-side tuple assembly was ~40% of
+wall (r4 VERDICT items 1/3).
+
+This module keeps the whole pipeline device-resident: the host-side glue
+(pivot flattening, candidate flattening, survivor compaction, emission-rule
+grouping, round-2 pivot selection, SMEM merge-sort, max_occ position
+sampling) is re-expressed as argsort-based compactions and segment scans on
+device, chained across a few jitted stages with NO intermediate fetch; one
+device_get at the end returns compact flat arrays sized by measured caps
+(~10B/SMEM + 4B/coordinate).
+
+Capacity policy (the candidate-count distribution is heavy-tailed: p50=14
+distinct interval sizes per pivot but p99=82, max~150 on the chr21 bench —
+repeat-region pivots): tier-1 runs every pivot at tight caps; pivots that
+overflow any tier-1 cap are compacted and RETRIED on device at a wide
+tier-2 (~6% of pivots carry ~35% of candidate lanes); only tier-2 residue
+falls back to the exact native oracle on the host (rt_smems_pivots /
+rt_collect_smems_reads), so the host patch path is cold.
+
+Behavioral spec match: mem_collect_smem's 3 rounds (bwamem.cpp:626-803,
+FMI_search.cpp:496-812) and the max_occ SA sampling of mem_chain_seeds
+(bwamem.cpp:876-898); output is tuple-for-tuple identical to
+DeviceBackend.collect_smems + chain.sa_positions_batch (tested, including
+every forced-overflow path).
+
+Static caps per (N, L) chunk bucket (measured, chr21 bench shape: 2.2 r1
+pivots, ~16 candidates/pivot, 7.7 SMEMs, ~20 SA positions per read):
+
+  P1CAP   round-1 pivot slots per read      (pivot_cap(L))
+  PCAP    round-1 pivot lanes    = 4*N
+  C1      tier-1 candidate slots = 32
+  MCAP    tier-1 walk lanes      = 24*N   (r2: 20*N)
+  RCAP    tier-1 survivors       = MCAP/4
+  PT2     tier-2 pivot lanes     = max(N//4, 512)
+  C2      tier-2 candidate slots = 192
+  MT2     tier-2 walk lanes      = 10*N
+  P2CAP   round-2 pivot lanes    = 2*N
+  SCAP    merged SMEM slots      = 12*N
+  OCAP    SA coordinate lanes    = 28*N
+  OVCAP   host-oracle pivot list = 4096
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .device_index import DeviceFMIndex, _fetch_rows, bwt_char_occ, \
+    take_counts
+from .smem import (round1_chain_kernel, round2_backward_kernel,
+                   round2_backward_resume_kernel, round2_forward_kernel,
+                   round3_replay_kernel)
+
+I32 = jnp.int32
+I64 = jnp.int64
+BIG32 = jnp.int32(2**31 - 1)
+BIG64 = jnp.int64(2**62)
+BWD_PHASE = 32   # lockstep backward steps before survivor compaction
+
+
+def _count_compact(valid, cap: int):
+    """Stable-compact `valid` lanes (in lane order) to `cap` slots.
+    Returns (sel int32[cap] source indices, ok bool[cap], count int32)."""
+    n = valid.shape[0]
+    rank = jnp.arange(n, dtype=I32)
+    key = jnp.where(valid, rank, BIG32)
+    sel = jnp.argsort(key).astype(I32)
+    if cap <= n:
+        sel = sel[:cap]
+    else:
+        sel = jnp.concatenate([sel, jnp.zeros((cap - n,), I32)])
+    count = jnp.sum(valid, dtype=I32)
+    ok = jnp.arange(cap, dtype=I32) < count
+    return sel, ok, count
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _stage_pivots(dfm: DeviceFMIndex, enc, lens, P1: int, PCAP: int):
+    """Round-1 pivot-chain discovery + flattening to PCAP pivot lanes.
+
+    Returns ridp/xp int32[PCAP] (pad rid=-1, x=0), ov_read bool[N]
+    (pivot-slot or pivot-lane capacity overflow: the read falls back to the
+    host oracle wholesale and its device emissions are suppressed)."""
+    N, L = enc.shape
+    npiv, px = round1_chain_kernel(dfm, enc, lens, P1)
+    ncl = jnp.minimum(npiv, P1)
+    cum = jnp.cumsum(ncl)
+    ov_read = (npiv > P1) | (cum > PCAP)
+    keep = ~ov_read
+    slot = jnp.arange(P1, dtype=I32)[None, :]
+    act = (slot < ncl[:, None]) & keep[:, None]
+    sel, ok, _ = _count_compact(act.reshape(-1), PCAP)
+    rid_f = (sel // P1).astype(I32)
+    x_f = px.reshape(-1)[sel].astype(I32)
+    ridp = jnp.where(ok, rid_f, -1)
+    xp = jnp.where(ok, x_f, 0)
+    return ridp, xp, ov_read
+
+
+@dataclass
+class _Emits:
+    """Per-candidate-lane emission set in grouped-sort order."""
+    rid: jax.Array    # int32[M]
+    m: jax.Array      # int32[M]
+    n: jax.Array      # int32[M]
+    k: jax.Array      # int64[M]
+    s: jax.Array      # int64[M]
+    emit: jax.Array   # bool[M]
+
+
+jax.tree_util.register_dataclass(_Emits,
+                                 ["rid", "m", "n", "k", "s", "emit"], [])
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def _stage_round(dfm: DeviceFMIndex, enc, ridp, xp, mip, ov_read,
+                 C: int, MCAP: int, RCAP: int, msl=None):
+    """One full per-pivot round: forward candidate collection, candidate
+    flattening, two-phase backward walks, emission-rule winner selection —
+    the device-resident replay of backend._round2.
+
+    Returns (_Emits over MCAP lanes, ov_piv bool[P]: pivots whose forward
+    candidates, candidate lanes, or resume slots overflowed — their device
+    emissions are suppressed; the caller retries them at tier 2 or hands
+    them to the host oracle)."""
+    N, L = enc.shape
+    P = ridp.shape[0]
+    cand_n, ck, _, cs, ncand = round2_forward_kernel(dfm, enc, ridp, xp,
+                                                     mip, C)
+    ov_cand = ncand > C
+    ncl = jnp.where(ov_cand, 0, jnp.minimum(ncand, C))
+    endpos = jnp.cumsum(ncl)
+    ov_lane = endpos > MCAP
+    slot = jnp.arange(C, dtype=I32)[None, :]
+    act = slot < ncl[:, None]
+    sel, ok, _ = _count_compact(act.reshape(-1), MCAP)
+    piv_idx = jnp.where(ok, (sel // C).astype(I32), P - 1)
+    slot_idx = jnp.where(ok, (sel % C).astype(I32), 0)
+
+    col, k, s, died, alive = round2_backward_kernel(
+        dfm, enc, ridp, xp, ck, cs, piv_idx, slot_idx, mip, BWD_PHASE)
+    # compact survivors; walk them to completion
+    aliveok = alive & ok
+    sel2, ok2, _ = _count_compact(aliveok, RCAP)
+    lost = aliveok & (jnp.cumsum(aliveok) > RCAP)
+    ov_res = jnp.zeros((P,), I32).at[piv_idx].max(
+        lost.astype(I32), mode="drop").astype(bool)
+    piv2 = piv_idx[sel2]
+    rcol, rk, rs, rdied = round2_backward_resume_kernel(
+        dfm, enc,
+        jnp.where(ok2, ridp[piv2], 0),
+        jnp.where(ok2, xp[piv2], 0),
+        jnp.where(ok2, mip[piv2], 1),
+        jnp.where(ok2, col[sel2], 0),
+        jnp.where(ok2, k[sel2], 0),
+        L - BWD_PHASE,
+        jnp.where(ok2, s[sel2], 1))
+    upd = jnp.where(ok2, sel2, MCAP)   # out-of-range -> dropped
+    col = col.at[upd].set(rcol, mode="drop")
+    k = k.at[upd].set(rk, mode="drop")
+    s = s.at[upd].set(rs, mode="drop")
+    died = died.at[upd].set(rdied, mode="drop")
+
+    ov_piv = ov_cand | ov_lane | ov_res
+    rid_l = ridp[piv_idx]
+    valid = ok & ~ov_piv[piv_idx] & ~ov_read[jnp.clip(rid_l, 0, None)] \
+        & (rid_l >= 0)
+    # emission: per pivot, candidates grouped by death column (survivors =
+    # group 0); the max-slot lane of each group wins (backend._round2's
+    # lexsort emission rule, see ops/smem.py ROUND2 NOTES)
+    n_off = cand_n[piv_idx, slot_idx].astype(I32)
+    m_abs = xp[piv_idx] - col
+    n_abs = xp[piv_idx] + n_off
+    ok_len = (n_abs - m_abs + 1) >= msl
+    grp = piv_idx * (L + 2) + jnp.where(died, col + 1, 0)
+    gkey = jnp.where(valid, grp.astype(I64) * 256 + slot_idx, BIG64)
+    perm = jnp.argsort(gkey).astype(I32)
+    g = grp[perm]
+    v = valid[perm]
+    last = jnp.concatenate([g[:-1] != g[1:],
+                            jnp.ones((1,), bool)]) & v
+    return (_Emits(rid=rid_l[perm], m=m_abs[perm], n=n_abs[perm],
+                   k=k[perm], s=s[perm], emit=last & ok_len[perm]),
+            ov_piv)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _stage_retry(ov_piv, ridp, xp, mip, PT2: int):
+    """Compact tier-1-overflowed pivots for the tier-2 rerun.  Returns the
+    retry pivot set + the flags of pivots that didn't even fit tier 2
+    (host-oracle residue, in the ORIGINAL pivot space)."""
+    f = ov_piv & (ridp >= 0)
+    sel, ok, _ = _count_compact(f, PT2)
+    lost = f & (jnp.cumsum(f) > PT2)
+    return (jnp.where(ok, ridp[sel], -1), jnp.where(ok, xp[sel], 0),
+            jnp.where(ok, mip[sel], 1), lost)
+
+
+@jax.jit
+def _concat_emits(e1: _Emits, e2: _Emits) -> _Emits:
+    return jax.tree.map(lambda a, b: jnp.concatenate([a, b]), e1, e2)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _stage_select2(e1: _Emits, split_len, split_width, P2CAP: int):
+    """Round-2 re-seeding pivot selection from the round-1 SMEM set
+    (mem_collect_smem's split rule, bwamem.cpp:694-714).
+
+    Returns (ridp2/xp2 int32[P2CAP], mip2 int64[P2CAP], plus the selected
+    pivots that didn't fit: lost2 flags + (x2, mi2) in e1 lane space)."""
+    selp = e1.emit & ((e1.n + 1 - e1.m) >= split_len) \
+        & (e1.s <= split_width)
+    x2 = (e1.n + 1 + e1.m) >> 1
+    mi2 = e1.s + 1
+    sel, ok, _ = _count_compact(selp, P2CAP)
+    lost2 = selp & (jnp.cumsum(selp) > P2CAP)
+    ridp2 = jnp.where(ok, e1.rid[sel], -1)
+    xp2 = jnp.where(ok, x2[sel], 0)
+    mip2 = jnp.where(ok, mi2[sel], 1)
+    return ridp2, xp2, mip2, lost2, x2, mi2
+
+
+def _sa_walk(dfm: DeviceFMIndex, pos, phases=2, phase_steps=16):
+    """Resolve BWT positions to reference coordinates (sa_lookup_kernel
+    semantics) with lane compaction between walk phases: the walk length is
+    ~Geometric(1/8), so after 16 lockstep steps ~88%% of lanes are done —
+    compacting the survivors before continuing cuts the gather volume ~4x
+    at OCAP-scale lane counts.  All lanes resolve exactly."""
+    M = pos.shape[0]
+
+    def step_fn(st):
+        done, sp, offset, hit_sent = st
+        b, occ = bwt_char_occ(dfm, sp)
+        sent = ~done & (b == 4)
+        hit_sent = hit_sent | sent
+        bc = jnp.where(b == 4, 0, b).astype(I32)
+        sp2 = take_counts(dfm.counts, bc) + occ
+        step = ~done & ~sent
+        sp = jnp.where(step, sp2, sp)
+        offset = jnp.where(step, offset + 1, offset)
+        done = done | sent | (step & ((sp & 7) == 0))
+        return done, sp, offset, hit_sent
+
+    def run_phase(st, nsteps):
+        for _ in range(nsteps):
+            st = step_fn(st)
+        return st
+
+    offset = jnp.zeros_like(pos)
+    done = (pos & 7) == 0
+    st = (done, pos, offset, jnp.zeros(pos.shape, bool))
+    out_sp = pos
+    out_off = offset
+    out_sent = jnp.zeros(pos.shape, bool)
+    src = jnp.arange(M, dtype=I32)   # original lane of each live slot
+    for _ in range(phases):
+        st = run_phase(st, phase_steps)
+        done, sp, offset, hit_sent = st
+        # bank finished lanes, compact survivors to a quarter
+        out_sp = out_sp.at[src].set(sp, mode="drop")
+        out_off = out_off.at[src].set(offset, mode="drop")
+        out_sent = out_sent.at[src].set(hit_sent, mode="drop")
+        m = done.shape[0]
+        cap = max(m // 4, 8)
+        sel, ok, _ = _count_compact(~done, cap)
+        src = jnp.where(ok, src[sel], M)
+        st = (~ok, sp[sel], offset[sel], hit_sent[sel])
+    # tail: the rare deep walks, full while_loop on the small lane set
+    st = jax.lax.while_loop(lambda st: jnp.any(~st[0]),
+                            lambda st: run_phase(st, 8), st)
+    done, sp, offset, hit_sent = st
+    out_sp = out_sp.at[src].set(sp, mode="drop")
+    out_off = out_off.at[src].set(offset, mode="drop")
+    out_sent = out_sent.at[src].set(hit_sent, mode="drop")
+    idx = (out_sp >> 3).astype(I32)
+    sa = (_fetch_rows(dfm, dfm.sa_ms, idx).astype(I64) << 32) \
+        + _fetch_rows(dfm, dfm.sa_ls, idx).astype(I64)
+    return jnp.where(out_sent, out_off, sa + out_off)
+
+
+@partial(jax.jit, static_argnums=(9, 10, 11, 12, 13))
+def _stage_merge_sa(dfm: DeviceFMIndex, e1: _Emits, e2: _Emits, r3,
+                    ov_read, ov_f, ov_rid, ov_x, ov_mi,
+                    L: int, SCAP: int, OCAP: int, OVCAP: int,
+                    narrow: bool, max_occ=None):
+    """Merge the rounds' emissions, sort by (rid, m, n), expand the
+    max_occ-sampled SA positions, resolve them, and compact the overflow
+    pivot list.  `narrow`: coordinates/sizes fit uint32 (2*l_pac < 2^32)."""
+    (n3out, x3, n3, s3, k3) = r3
+    N = n3out.shape[0]
+    cap3 = x3.shape[1]
+    rid3 = jnp.broadcast_to(jnp.arange(N, dtype=I32)[:, None],
+                            (N, cap3)).reshape(-1)
+    slot3 = jnp.broadcast_to(jnp.arange(cap3, dtype=I32)[None, :],
+                             (N, cap3)).reshape(-1)
+    v3 = (slot3 < n3out[rid3]) & ~ov_read[rid3]
+
+    rid = jnp.concatenate([e1.rid, e2.rid, rid3])
+    m = jnp.concatenate([e1.m, e2.m, x3.reshape(-1).astype(I32)])
+    n = jnp.concatenate([e1.n, e2.n, n3.reshape(-1).astype(I32)])
+    k = jnp.concatenate([e1.k, e2.k, k3.reshape(-1)])
+    s = jnp.concatenate([e1.s, e2.s, s3.reshape(-1).astype(I64)])
+    valid = jnp.concatenate([e1.emit, e2.emit, v3])
+    T = rid.shape[0]
+    lane = jnp.arange(T, dtype=I64)
+    key = ((((rid.astype(I64) << 10) | (m + 1).astype(I64)) << 10
+            | (n + 1).astype(I64)) << 22) | lane
+    key = jnp.where(valid, key, BIG64)
+    perm = jnp.argsort(key)[:SCAP].astype(I32)
+    nsm = jnp.sum(valid, dtype=I32)
+    ok_s = jnp.arange(SCAP, dtype=I32) < nsm
+    rid_s = jnp.where(ok_s, rid[perm], N)
+    m_s = jnp.where(ok_s, m[perm], 0)
+    n_s = jnp.where(ok_s, n[perm], 0)
+    k_s = jnp.where(ok_s, k[perm], 0)
+    s_s = jnp.where(ok_s, s[perm], 0)
+
+    # max_occ-sampled SA positions (sa_positions_batch semantics)
+    cnt = jnp.minimum(s_s, max_occ).astype(I32)
+    occ_off = jnp.concatenate([jnp.zeros((1,), I32), jnp.cumsum(cnt)])
+    npos = occ_off[-1]
+    p = jnp.arange(OCAP, dtype=I32)
+    slot = jnp.searchsorted(occ_off, p, side="right").astype(I32) - 1
+    slot = jnp.clip(slot, 0, SCAP - 1)
+    j = p - occ_off[slot]
+    s_sl = s_s[slot]
+    step = jnp.where(s_sl > max_occ, s_sl // max_occ, 1)
+    pos = k_s[slot] + j.astype(I64) * step
+    pos = jnp.where(p < npos, pos, 0)
+    coords = _sa_walk(dfm, pos)
+
+    # host-oracle pivot list (tier-2 residue)
+    selo, oko, n_ovp = _count_compact(ov_f, OVCAP)
+    ovp_rid = jnp.where(oko, ov_rid[selo], -1)
+    ovp_x = jnp.where(oko, ov_x[selo], 0)
+    ovp_mi = jnp.where(oko, ov_mi[selo], 1)
+    # pivots beyond OVCAP: their reads fall back wholesale
+    lost_ov = ov_f & (jnp.cumsum(ov_f) > OVCAP)
+    ov_read2 = jnp.zeros((N,), I32).at[jnp.clip(ov_rid, 0, None)].max(
+        lost_ov.astype(I32), mode="drop").astype(bool)
+
+    if narrow:
+        rid_s = rid_s.astype(jnp.int16)
+        m_s = m_s.astype(jnp.int16)
+        n_s = n_s.astype(jnp.int16)
+        s_s = s_s.astype(jnp.uint32)
+        k_s = k_s.astype(jnp.uint32)
+        coords = coords.astype(jnp.uint32)
+    return (rid_s, m_s, n_s, s_s, k_s, nsm, coords, npos,
+            ovp_rid, ovp_x, ovp_mi, n_ovp, ov_read2)
+
+
+class FusedSeeder:
+    """Per-chunk fused seeding driver: chains the jitted stages with
+    device-resident intermediates and ONE final fetch; patches capacity
+    overflows with the exact native oracle on the host."""
+
+    def __init__(self, fm, dfm: DeviceFMIndex):
+        self.fm = fm
+        self.dfm = dfm
+        self.narrow = 2 * fm.l_pac < 2**32
+
+    @staticmethod
+    def caps(N: int, L: int):
+        from .backend import pivot_cap
+        return dict(P1=pivot_cap(L), PCAP=4 * N, C1=32, C2=192,
+                    MCAP=24 * N, RCAP=6 * N, PT2=max(N // 4, 512),
+                    MT2=10 * N, RT2=3 * N, P2CAP=2 * N, MCAP2=20 * N,
+                    RCAP2=5 * N, SCAP=12 * N, OCAP=28 * N, OVCAP=4096)
+
+    def _round_tiered(self, encj, ridp, xp, mip, ov_read, cp, msl,
+                      MCAP, RCAP):
+        """Tier-1 round + on-device tier-2 retry of overflowed pivots.
+        Returns (emits concat, residual-oracle (f, rid, x, mi) arrays)."""
+        dfm = self.dfm
+        e1, ov1 = _stage_round(dfm, encj, ridp, xp, mip, ov_read,
+                               cp["C1"], MCAP, RCAP, msl)
+        ridb, xb, mib, lostb = _stage_retry(ov1, ridp, xp, mip, cp["PT2"])
+        e2, ov2 = _stage_round(dfm, encj, ridb, xb, mib, ov_read,
+                               cp["C2"], cp["MT2"], cp["RT2"], msl)
+        e = _concat_emits(e1, e2)
+        f = jnp.concatenate([lostb, ov2 & (ridb >= 0)])
+        rid = jnp.concatenate([ridp, ridb])
+        x = jnp.concatenate([xp, xb])
+        mi = jnp.concatenate([mip, mib])
+        return e, (f, rid, x, mi)
+
+    def run(self, encj, lensj, opt):
+        """Dispatch the fused pipeline for one padded read grid.  Returns
+        the raw fetched tuple + caps (host assembly in backend)."""
+        N, L = encj.shape
+        assert N <= 32768 and L <= 512
+        cp = self.caps(N, L)
+        dfm = self.dfm
+        ridp, xp, ov_read = _stage_pivots(dfm, encj, lensj, cp["P1"],
+                                          cp["PCAP"])
+        mi1 = jnp.ones((cp["PCAP"],), I64)
+        msl = jnp.int32(opt.min_seed_len)
+        e1, ov1 = self._round_tiered(encj, ridp, xp, mi1, ov_read, cp,
+                                     msl, cp["MCAP"], cp["RCAP"])
+        split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+        ridp2, xp2, mip2, lost2, x2_l, mi2_l = _stage_select2(
+            e1, jnp.int32(split_len), jnp.int64(opt.split_width),
+            cp["P2CAP"])
+        e2, ov2 = self._round_tiered(encj, ridp2, xp2, mip2, ov_read, cp,
+                                     msl, cp["MCAP2"], cp["RCAP2"])
+        if opt.max_mem_intv > 0:
+            msl_p1 = max(opt.min_seed_len + 1, 2)
+            cap3 = L // msl_p1 + 1
+            r3 = round3_replay_kernel(dfm, encj, lensj,
+                                      jnp.int64(opt.max_mem_intv),
+                                      jnp.int32(msl_p1), cap3)
+        else:
+            z16 = jnp.zeros((N, 1), jnp.int16)
+            r3 = (jnp.zeros((N,), I32), z16, z16,
+                  jnp.zeros((N, 1), I32), jnp.zeros((N, 1), I64))
+        ov_f = jnp.concatenate([ov1[0], ov2[0], lost2])
+        ov_rid = jnp.concatenate([ov1[1], ov2[1], e1.rid])
+        ov_x = jnp.concatenate([ov1[2], ov2[2], x2_l])
+        ov_mi = jnp.concatenate([ov1[3], ov2[3], mi2_l])
+        out = _stage_merge_sa(
+            dfm, e1, e2, r3, ov_read, ov_f, ov_rid, ov_x, ov_mi,
+            L, cp["SCAP"], cp["OCAP"], cp["OVCAP"], self.narrow,
+            jnp.int64(opt.max_occ))
+        return jax.device_get(out + (ov_read,)), cp
