@@ -31,22 +31,33 @@ sys.path.insert(0, REPO)
 
 BENCH_DIR = os.path.join(REPO, ".tmp", "bench_chr21")
 PREFIX = os.path.join(BENCH_DIR, "genome.fa")
-FQ1 = os.path.join(BENCH_DIR, "reads_r1.fq")
-FQ2 = os.path.join(BENCH_DIR, "reads_r2.fq")
+FQ1 = os.path.join(BENCH_DIR, "reads100k_r1.fq")
+FQ2 = os.path.join(BENCH_DIR, "reads100k_r2.fq")
 REF_BIN = os.path.join(REPO, ".refbuild", "bwa-mem2.ref")
 # measured on this host (1 core, Cooper Lake vCPU), 2026-08-16: 20k reads
 # PE 2x150 chr21-scale, `bwa-mem2.ref mem -t 1`
 FALLBACK_BASELINE_RPS = 3175.0
-N_READS = 20000
-TASK_BASES = 750_000   # 5k reads per chunk; 4 chunks round-robin
+# r5: 100k reads per VERDICT item 5 (steady state: fixed pipeline
+# fill/drain and first-chunk costs < 5% of the run)
+N_READS = 100000
+# 15k reads per chunk: fills the N=16384 read-grid bucket, deep enough
+# that per-op dispatch overheads amortize (the reference's analog knob is
+# chunk_size*n_threads, fastmap.cpp:943-949)
+TASK_BASES = 2_250_000
+# the published per-socket reference config is 56 threads (README.md:120)
+SOCKET_THREADS = 56
 
 
 def ensure_data():
     if not (os.path.exists(PREFIX + ".bwt.2bit.64") and os.path.exists(FQ1)):
-        print("[bench] generating chr21-scale dataset (one-time, ~5 min)",
+        print("[bench] generating chr21-scale dataset (one-time, ~6 min)",
               file=sys.stderr)
         subprocess.run([sys.executable,
                         os.path.join(REPO, "tools", "make_bench_data.py")],
+                       check=True)
+        subprocess.run([sys.executable,
+                        os.path.join(REPO, "tools", "make_bench_data.py"),
+                        "--pairs", "50000", "--fq-prefix", "reads100k"],
                        check=True)
 
 
@@ -100,7 +111,7 @@ def bench_240m(make_aligner):
             return {}
     from bwamem2_tpu.io.fastq import FastxReader
     from bwamem2_tpu.runtime import run_pipeline
-    al, n_expect = make_aligner(PREFIX_240M)
+    al, n_expect = make_aligner(PREFIX_240M, 20000)
     devnull = open(os.devnull, "w")
 
     def one_pass():
@@ -166,9 +177,16 @@ def main():
     one_pass()                    # warm: compile/load all shape buckets
     # median of 3 timed passes: the tunneled-TPU link's throughput varies
     # several-fold between runs, and the median is the honest steady state
+    from bwamem2_tpu.utils.profiling import PROF
+    for d in (PROF.t, PROF.n, PROF.c, PROF.ctot):
+        d.clear()
     runs = sorted(one_pass() for _ in range(3))
     wall, cpu = runs[1]
     ours = N_READS / wall
+    # per-phase wall (summed across worker threads over the 3 passes,
+    # normalized to one pass) — where the device time goes
+    phases = {k: round(v / 3, 2) for k, v in sorted(
+        PROF.t.items(), key=lambda kv: -kv[1]) if v / 3 >= 0.05}
     print(f"[bench] ours: {ours:.0f} reads/s e2e ({wall:.2f}s, {N_READS} "
           f"2x150bp PE reads, chr21-scale, 1 chip; host cpu {cpu:.1f}s, "
           f"device-wait {100 * (1 - cpu / wall):.0f}%)", file=sys.stderr)
@@ -178,12 +196,12 @@ def main():
           f"{base:.0f} reads/s", file=sys.stderr)
 
     # 240Mbp scale config (same backend construction, bigger genome)
-    def make_aligner(prefix):
+    def make_aligner(prefix, n_expect):
         fm2 = FMIndex.load(prefix)
         opt2 = MemOptions().finalize()
         opt2.flag |= MEM_F_PE
         be2 = DeviceBackend(fm2, opt2, index_prefix=prefix)
-        return Aligner(fm2, opt2, backend=be2, verbose=0), N_READS
+        return Aligner(fm2, opt2, backend=be2, verbose=0), n_expect
 
     try:
         extra = bench_240m(make_aligner)
@@ -197,10 +215,14 @@ def main():
         "unit": "reads/s",
         "vs_baseline": round(ours / base, 4),
         "baseline_1thread_rps": round(base, 1),
+        # the real bar (BASELINE.json): one v5e chip vs a 56-thread socket
+        "vs_socket_target": round(ours / (SOCKET_THREADS * base), 4),
+        "socket_threads": SOCKET_THREADS,
         "wall_s": round(wall, 2),
         "host_cpu_s": round(cpu, 2),
         "device_wait_frac": round(1 - cpu / wall, 3),
         "reads": N_READS,
+        "phases_s": phases,
         **extra,
     }))
 

@@ -13,6 +13,7 @@ Mirrors (all in the reference's src/):
 from __future__ import annotations
 
 import math
+import sys
 from dataclasses import dataclass, field, replace as dc_replace
 
 import numpy as np
@@ -132,6 +133,12 @@ def patch_reg(fm: FMIndex, opt, query: np.ndarray, a: AlnReg, b: AlnReg):
         return None
     w = abs((a.re - b.rb) - (a.qe - b.qb))
     r = abs((a.re - b.rb) / (b.re - a.rb) - (a.qe - b.qb) / (b.qe - a.qb))
+    if getattr(opt, "verbose", 3) >= 4:   # bwamem.cpp:191-195, verbatim
+        sys.stderr.write(
+            "* potential hit merge between [%d,%d)<=>[%ld,%ld) and "
+            "[%d,%d)<=>[%ld,%ld), @ %s; w=%d, r=%.4g\n"
+            % (a.qb, a.qe, a.rb, a.re, b.qb, b.qe, b.rb, b.re,
+               fm.bns.anns[a.rid].name, w, r))
     if a.re < b.rb or a.qe < b.qb:
         if w > opt.w << 1 or r >= PATCH_MAX_R_BW:
             return None
@@ -139,6 +146,9 @@ def patch_reg(fm: FMIndex, opt, query: np.ndarray, a: AlnReg, b: AlnReg):
         return None
     w += a.w + b.w
     w = min(w, opt.w << 2)
+    if getattr(opt, "verbose", 3) >= 4:   # bwamem.cpp:206-207
+        sys.stderr.write("* test potential hit merge with global "
+                         "alignment; w=%d\n" % w)
     res = gen_cigar(fm, opt, b.qe - a.qb, query[a.qb:], a.rb, b.re, w,
                     want_cigar=False)
     if res is None:
@@ -148,6 +158,8 @@ def patch_reg(fm: FMIndex, opt, query: np.ndarray, a: AlnReg, b: AlnReg):
               * (b.score + a.score) + 0.499)
     r_s = int((b.re - a.rb) / ((b.re - b.rb) + (a.re - a.rb))
               * (b.score + a.score) + 0.499)
+    if getattr(opt, "verbose", 3) >= 4:   # bwamem.cpp:219-220
+        sys.stderr.write("* score=%d;(%d,%d)\n" % (score, q_s, r_s))
     if score / max(q_s, r_s) < PATCH_MIN_SC_RATIO:
         return None
     return score, w
@@ -380,6 +392,9 @@ def reg2aln(fm: FMIndex, opt, l_query: int, query: np.ndarray,
         a.flag |= 0x100
     w2 = max(infer_bw(qe - qb, re - rb, ar.truesc, opt.a, opt.o_del, opt.e_del),
              infer_bw(qe - qb, re - rb, ar.truesc, opt.a, opt.o_ins, opt.e_ins))
+    if getattr(opt, "verbose", 3) >= 4:   # bwamem.cpp:1755
+        sys.stderr.write("* Band width: inferred=%d, cmd_opt=%d, "
+                         "alnreg=%d\n" % (w2, opt.w, ar.w))
     if w2 > opt.w:
         w2 = min(w2, ar.w)
     last_sc = -(1 << 30)
@@ -390,6 +405,9 @@ def reg2aln(fm: FMIndex, opt, l_query: int, query: np.ndarray,
         res = gen_cigar(fm, opt, qe - qb, query[qb:], rb, re, w2)
         assert res is not None
         score, cigar, NM, MD = res
+        if getattr(opt, "verbose", 3) >= 4:   # bwamem.cpp:1762
+            sys.stderr.write("* Final alignment: w2=%d, global_sc=%d, "
+                             "local_sc=%d\n" % (w2, score, ar.truesc))
         if score == last_sc or w2 == opt.w << 2:
             break
         last_sc = score

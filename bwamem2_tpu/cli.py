@@ -83,10 +83,11 @@ def parse_mem_args(argv: list[str]):
     optlist, args = getopt.gnu_getopt(
         sys.argv[2:] if argv is None else argv,
         "51qpaMCSPVYjk:c:v:s:r:t:R:A:B:O:E:U:w:L:d:T:Q:D:m:I:N:W:x:G:h:y:K:X:H:o:f:Z:",
-        ["shard=", "out-dir="])
+        ["shard=", "out-dir=", "resume"])
     verbose = 3
     shard = None
     out_dir = None
+    resume = False
     for c, val in optlist:
         c = c[1:]
         if c == "k":
@@ -133,6 +134,7 @@ def parse_mem_args(argv: list[str]):
             opt.set("zdrop", int(val))
         elif c == "v":
             verbose = int(val)
+            opt.verbose = verbose
         elif c == "j":
             ignore_alt = True
         elif c == "r":
@@ -208,9 +210,11 @@ def parse_mem_args(argv: list[str]):
             shard = (int(h), int(n))
         elif c == "-out-dir":
             out_dir = val
+        elif c == "-resume":
+            resume = True
     return (opt, mode, fixed_chunk_size, no_mt_io, rg_line, hdr_line,
             out_path, copy_comment, ignore_alt, pes0, verbose, args,
-            device_backend, shard, out_dir)
+            device_backend, shard, out_dir, resume)
 
 
 def main_mem(argv: list[str]) -> int:
@@ -223,7 +227,7 @@ def main_mem(argv: list[str]) -> int:
     try:
         (opt, mode, fixed_chunk_size, no_mt_io, rg_line, hdr_line, out_path,
          copy_comment, ignore_alt, pes0, verbose, args, device_backend,
-         shard, out_dir) = parse_mem_args(argv)
+         shard, out_dir, resume) = parse_mem_args(argv)
     except ValueError as e:
         # bad flag value: a usage error, not an internal failure
         raise getopt.GetoptError(str(e))
@@ -262,9 +266,35 @@ def main_mem(argv: list[str]) -> int:
             ks2 = FastxReader(args[2])
             opt.flag |= MEM_F_PE
 
-    out = open(out_path, "w") if out_path else sys.stdout
-    out.write(sam_header(fm, hdr_line,
-                         pg_line(["bwa-mem2-tpu"] + (argv or []), __version__)))
+    journal = None
+    if resume:
+        # chunk-granular restart (SURVEY §5.4): requires a seekable -o file
+        if not out_path or shard is not None:
+            return _fatal("--resume requires -o <file> (and no --shard)")
+        from .runtime import ChunkJournal
+        journal = ChunkJournal(out_path + ".resume")
+        if journal.n_done and not os.path.exists(out_path):
+            return _fatal(f"--resume: journal {out_path}.resume claims "
+                          f"{journal.n_done} chunks but {out_path} is "
+                          "missing; delete the journal to start over")
+        if journal.n_done and verbose >= 3:
+            sys.stderr.write(f"* resuming after {journal.n_done} chunks "
+                             f"({journal.n_reads} reads)\n")
+    fresh = journal is None or journal.end_offset is None \
+        or not os.path.exists(out_path)
+    out = open(out_path, "w" if fresh else "r+") if out_path else sys.stdout
+    if fresh:
+        out.write(sam_header(fm, hdr_line,
+                             pg_line(["bwa-mem2-tpu"] + (argv or []),
+                                     __version__)))
+        if journal is not None:
+            out.flush()
+            journal.truncate_output(out_path, out.tell())
+    else:
+        # drop any partial chunk, append after the last journaled one
+        out.flush()
+        journal.truncate_output(out_path, 0)
+        out.seek(journal.end_offset)
 
     task_size = (fixed_chunk_size if fixed_chunk_size > 0
                  else opt.chunk_size * opt.n_threads)
@@ -328,11 +358,34 @@ def main_mem(argv: list[str]) -> int:
         run_pipeline(aligners, ks1, ks2, task_size, out, pes0=pes0,
                      copy_comment=copy_comment,
                      pipeline_depth=1 if no_mt_io else 2, verbose=verbose,
-                     n_workers=nw)
+                     n_workers=nw, resume=journal)
+    if journal is not None:
+        journal.close()
     if out is not sys.stdout:
         out.close()
     sys.stderr.write(f"* done in {time.time()-t0:.1f}s\n")
+    _print_param_echo()
     return 0
+
+
+def _print_param_echo() -> None:
+    """Exit-time tuned-constant echo (main.cpp:115-125 analog): the
+    reference prints its SIMD batch geometry; these are this framework's
+    equivalents — the device tile caps, lane width, and fused-seeding
+    capacity constants that govern kernel shapes."""
+    from .ops.bsw import LONG_QCAP, QCAP, TCAP
+    from .ops.seedall import FusedSeeder
+    cp = FusedSeeder.caps(1024, 152)
+    sys.stderr.write("\nImportant parameter settings: \n")
+    sys.stderr.write("\tMAX_SEQ_LEN_REF (TCAP): %d\n" % TCAP)
+    sys.stderr.write("\tMAX_SEQ_LEN_QER (QCAP): %d\n" % QCAP)
+    sys.stderr.write("\tLONG_QCAP (sheared-band class): %d\n" % LONG_QCAP)
+    sys.stderr.write("\tVPU_LANES (SIMD width analog): 128\n")
+    sys.stderr.write("\tSEED_CAND_SLOTS (C1/C2): %d/%d\n"
+                     % (cp["C1"], cp["C2"]))
+    sys.stderr.write("\tSEEDS_PER_READ (SCAP/N): %d\n" % (cp["SCAP"] // 1024))
+    sys.stderr.write("\tSA_COORDS_PER_READ (OCAP/N): %d\n"
+                     % (cp["OCAP"] // 1024))
 
 
 def main_index(argv: list[str]) -> int:

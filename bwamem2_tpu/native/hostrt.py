@@ -33,7 +33,7 @@ class MemOptC(ctypes.Structure):
         ("max_matesw", c_int32), ("max_XA_hits", c_int32),
         ("max_XA_hits_alt", c_int32), ("mapQ_coef_fac", c_int32),
         ("max_chain_gap", c_int32), ("max_ins", c_int32),
-        ("_unused", c_int32),
+        ("verbose", c_int32),
         ("mask_level", c_float), ("drop_ratio", c_float),
         ("XA_drop_ratio", c_float), ("mask_level_redun", c_float),
         ("mapQ_coef_len", c_float),
@@ -195,6 +195,10 @@ def extension_batch(fm, opt, reads, chains_flat, score_fn) -> FlatRegs:
         seed_len.ctypes.data_as(_pi32), QCAP, TCAP)
     try:
         max_try = lib.rt_ext_max_band_try()
+        # NOTE the sides are SEQUENTIAL, not independent: right-side pairs
+        # take the left side's FINAL region score as their h0
+        # (rt_ext_pending's right_ready latch; bwamem.cpp:2641-2658), so
+        # the left band-doubling rounds must fully complete first.
         for side in (0, 1):
             end_bonus = opt.pen_clip5 if side == 0 else opt.pen_clip3
             rem = 0
@@ -349,6 +353,7 @@ def make_opt_c(opt) -> MemOptC:
                  "max_XA_hits_alt", "mapQ_coef_fac", "max_chain_gap",
                  "max_ins"):
         setattr(o, name, int(getattr(opt, name)))
+    o.verbose = int(getattr(opt, "verbose", 3))
     for name in ("mask_level", "drop_ratio", "XA_drop_ratio",
                  "mask_level_redun", "mapQ_coef_len"):
         setattr(o, name, float(getattr(opt, name)))

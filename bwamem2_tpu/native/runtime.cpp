@@ -61,7 +61,7 @@ struct MemOptC {
     i32 pen_unpaired, pen_clip5, pen_clip3;
     i32 w, zdrop, T, flag, min_seed_len;
     i32 max_matesw, max_XA_hits, max_XA_hits_alt, mapQ_coef_fac;
-    i32 max_chain_gap, max_ins, min_seed_len_x_a_unused;
+    i32 max_chain_gap, max_ins, verbose;
     float mask_level, drop_ratio, XA_drop_ratio, mask_level_redun,
           mapQ_coef_len;
     int8_t mat[25];
@@ -300,11 +300,21 @@ static bool patch_reg(const BnsC &bns, const MemOptC &opt, const u8 *query,
     i32 w = (i32)std::llabs((a.re - b.rb) - (i64)(a.qe - b.qb));
     double r = std::fabs((double)(a.re - b.rb) / (b.re - a.rb)
                          - (double)(a.qe - b.qb) / (b.qe - a.qb));
+    if (opt.verbose >= 4)   // bwamem.cpp:191-195 debug dump, verbatim
+        fprintf(stderr, "* potential hit merge between [%d,%d)<=>[%ld,%ld) "
+                "and [%d,%d)<=>[%ld,%ld), @ %.*s; w=%d, r=%.4g\n",
+                a.qb, a.qe, (long)a.rb, (long)a.re, b.qb, b.qe,
+                (long)b.rb, (long)b.re,
+                (int)(bns.name_off[a.rid + 1] - bns.name_off[a.rid]),
+                bns.name_blob + bns.name_off[a.rid], w, r);
     if (a.re < b.rb || a.qe < b.qb) {
         if (w > opt.w << 1 || r >= PATCH_MAX_R_BW) return false;
     } else if (w > opt.w << 2 || r >= PATCH_MAX_R_BW * 2) return false;
     w += a.w + b.w;
     w = std::min(w, opt.w << 2);
+    if (opt.verbose >= 4)   // bwamem.cpp:206-207
+        fprintf(stderr, "* test potential hit merge with global alignment; "
+                "w=%d\n", w);
     CigarRes cr;
     gen_cigar(bns, opt, b.qe - a.qb, query + a.qb, a.rb, b.re, w, false, cr);
     if (!cr.ok) return false;
@@ -312,6 +322,8 @@ static bool patch_reg(const BnsC &bns, const MemOptC &opt, const u8 *query,
                     * (b.score + a.score) + 0.499);
     i32 r_s = (i32)((double)(b.re - a.rb) / ((b.re - b.rb) + (a.re - a.rb))
                     * (b.score + a.score) + 0.499);
+    if (opt.verbose >= 4)   // bwamem.cpp:219-220
+        fprintf(stderr, "* score=%d;(%d,%d)\n", cr.score, q_s, r_s);
     if ((double)cr.score / std::max(q_s, r_s) < PATCH_MIN_SC_RATIO)
         return false;
     *score_out = cr.score;
@@ -553,6 +565,9 @@ static void reg2aln(const BnsC &bns, const MemOptC &opt, i32 l_query,
                  opt.e_del),
         infer_bw(qe - qb, (i32)(re - rb), ar->truesc, opt.a, opt.o_ins,
                  opt.e_ins));
+    if (opt.verbose >= 4)   // bwamem.cpp:1755
+        fprintf(stderr, "* Band width: inferred=%d, cmd_opt=%d, alnreg=%d\n",
+                w2, opt.w, ar->w);
     if (w2 > opt.w) w2 = std::min(w2, ar->w);
     i32 last_sc = -(1 << 30);
     i32 i = 0;
@@ -560,6 +575,9 @@ static void reg2aln(const BnsC &bns, const MemOptC &opt, i32 l_query,
     for (;;) {
         w2 = std::min(w2, opt.w << 2);
         gen_cigar(bns, opt, qe - qb, query + qb, rb, re, w2, true, cr);
+        if (opt.verbose >= 4)   // bwamem.cpp:1762
+            fprintf(stderr, "* Final alignment: w2=%d, global_sc=%d, "
+                    "local_sc=%d\n", w2, cr.score, ar->truesc);
         if (cr.score == last_sc || w2 == opt.w << 2) break;
         last_sc = cr.score;
         w2 <<= 1;

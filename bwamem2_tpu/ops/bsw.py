@@ -857,6 +857,13 @@ class DeviceBSW:
         tlen <= TCAP), descriptors arrive as flat numpy arrays — no
         per-pair Python objects.  qoff is read-local; the read-grid row
         base is added here.  Same shape ladders / class split as _run."""
+        flights, out = self._enqueue_arrays(desc, w, opt, end_bonus)
+        for (idxs, _), resh in zip(flights,
+                                   jax.device_get([f[1] for f in flights])):
+            out[idxs] = resh[: len(idxs)]
+        return out
+
+    def _enqueue_arrays(self, desc: dict, w: int, opt, end_bonus: int):
         from . import bucket_pow2, round_up
         encj = self.encj
         L = encj.shape[1]
@@ -892,7 +899,4 @@ class DeviceBSW:
                     *args, self.dfm.ref_packed,
                     h0_cap_bucket(int(desc["h0"][idxs].max(initial=0))))
             flights.append((idxs, res))
-        for (idxs, _), resh in zip(flights,
-                                   jax.device_get([f[1] for f in flights])):
-            out[idxs] = resh[: len(idxs)]
-        return out
+        return flights, out

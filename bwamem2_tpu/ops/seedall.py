@@ -37,11 +37,12 @@ pivots, ~16 candidates/pivot, 7.7 SMEMs, ~20 SA positions per read):
   P1CAP   round-1 pivot slots per read      (pivot_cap(L))
   PCAP    round-1 pivot lanes    = 4*N
   C1      tier-1 candidate slots = 32
-  MCAP    tier-1 walk lanes      = 24*N   (r2: 20*N)
+  MCAP    tier-1 walk lanes      = 32*N   (r2: 24*N; ~29 real
+          candidate lanes per read at full chunks)
   RCAP    tier-1 survivors       = MCAP/4
   PT2     tier-2 pivot lanes     = max(N//4, 512)
   C2      tier-2 candidate slots = 192
-  MT2     tier-2 walk lanes      = 10*N
+  MT2     tier-2 walk lanes      = 8*N
   P2CAP   round-2 pivot lanes    = 2*N
   SCAP    merged SMEM slots      = 12*N
   OCAP    SA coordinate lanes    = 28*N
@@ -57,17 +58,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .device_index import DeviceFMIndex, _fetch_rows, bwt_char_occ, \
-    take_counts
-from .smem import (round1_chain_kernel, round2_backward_kernel,
-                   round2_backward_resume_kernel, round2_forward_kernel,
-                   round3_replay_kernel)
+from . import fori_unroll2
+from .device_index import DeviceFMIndex, _fetch_rows, backward_ext_full, \
+    bwt_char_occ, take_counts
+from .smem import _bwd_walk, round1_chain_kernel, round3_replay_kernel
 
 I32 = jnp.int32
 I64 = jnp.int64
 BIG32 = jnp.int32(2**31 - 1)
 BIG64 = jnp.int64(2**62)
-BWD_PHASE = 32   # lockstep backward steps before survivor compaction
 
 
 def _count_compact(valid, cap: int):
@@ -124,9 +123,113 @@ jax.tree_util.register_dataclass(_Emits,
                                  ["rid", "m", "n", "k", "s", "emit"], [])
 
 
+# forward-walk survivor-compaction schedule: pivots' forward extensions
+# are long-lived (57% alive after 32 cols, 43% after 64 — flat tail), so
+# only two coarse phases pay off; tier-2 pools are too small to bother
+# (schedule=None runs one full-length phase).
+SCHED_FWD = ((32, 2), (32, 3))
+
+
+def _fwd_phased(dfm: DeviceFMIndex, enc, ridp, xp, mip, C: int,
+                schedule=SCHED_FWD):
+    """Forward candidate collection (round2_forward_kernel semantics) with
+    survivor compaction between column phases.  The walk is lockstep in the
+    column offset j for every lane, so phases split the global j range and
+    compact the still-alive pivot lanes between them.  Pivots whose lanes
+    are lost to a phase cap are flagged for retry (exactness preserved).
+
+    Returns (cand_n int32[P,C], ck, cs int64[P,C], ncand int32[P],
+    ov_fwd bool[P])."""
+    N, L = enc.shape
+    P = ridp.shape[0]
+    enc_flat = enc.reshape(-1).astype(I32)
+    NL = N * L
+
+    base = ridp * L + xp
+    a0 = enc_flat[jnp.clip(base, 0, NL - 1)]
+    plen = jnp.where(ridp >= 0, L - xp, 0)
+    valid0 = (a0 < 4) & (plen > 0)
+    a0c = jnp.where(valid0, a0, 0)
+    k = dfm.counts[a0c]
+    l = dfm.counts[3 - a0c]
+    s = dfm.counts[a0c + 1] - dfm.counts[a0c]
+    n = jnp.zeros((P,), I32)
+    alive = valid0
+    cn = jnp.full((P, C), -1, I32)
+    ck = jnp.zeros((P, C), I64)
+    cl = jnp.zeros((P, C), I64)
+    cs = jnp.zeros((P, C), I64)
+    nc = jnp.zeros((P,), I32)
+    mi = mip
+    ov_fwd = jnp.zeros((P,), I32)
+
+    def push(cands, nc, do, n, k, l, s):
+        cn, ck, cl, cs = cands
+        C_ = cn.shape[1]
+        idx = jnp.clip(nc, 0, C_ - 1)
+        onehot = (jnp.arange(C_, dtype=I32)[None, :] == idx[:, None]) \
+            & do[:, None]
+        cn = jnp.where(onehot, n[:, None], cn)
+        ck = jnp.where(onehot, k[:, None], ck)
+        cl = jnp.where(onehot, l[:, None], cl)
+        cs = jnp.where(onehot, s[:, None], cs)
+        return (cn, ck, cl, cs), nc + do.astype(I32)
+
+    def body(j, st):
+        (cands, nc, k, l, s, n, alive, base, plen, mi) = st
+        c = enc_flat[jnp.clip(base + j, 0, NL - 1)]
+        ok = alive & (j < plen) & (c < 4)
+        cc = jnp.where(ok, 3 - c, 0)
+        nl_, nk, ns = backward_ext_full(dfm, l, k, s, cc)
+        push_prev = ok & (ns != s)
+        cands, nc = push(cands, nc, push_prev, n, k, l, s)
+        dead = ok & (ns < mi)
+        grow = ok & (ns >= mi)
+        k = jnp.where(grow, nk, k)
+        l = jnp.where(grow, nl_, l)
+        s = jnp.where(grow, ns, s)
+        n = jnp.where(grow, jnp.int32(j), n)
+        alive = grow
+        return (cands, nc, k, l, s, n, alive, base, plen, mi)
+
+    # banked P-space outputs + live (compacted) lane state
+    out = dict(cn=cn, ck=ck, cs=cs, nc=nc, k=k, s=s, n=n)
+    src = jnp.arange(P, dtype=I32)
+    st = ((cn, ck, cl, cs), nc, k, l, s, n, alive, base, plen, mi)
+    j0 = 1
+    bounds = []
+    for steps, div in (schedule or ()):
+        bounds.append((j0, min(j0 + steps, L), max(P // div, 64)))
+        j0 = min(j0 + steps, L)
+    if j0 < L:
+        bounds.append((j0, L, None))
+    for lo, hi, cap in bounds:
+        st = fori_unroll2(lo, hi, body, st)
+        (cands, nc, k, l, s, n, alive, base, plen, mi) = st
+        cn, ck, cl, cs = cands
+        for nm, v in (("cn", cn), ("ck", ck), ("cs", cs), ("nc", nc),
+                      ("k", k), ("s", s), ("n", n)):
+            out[nm] = out[nm].at[src].set(v, mode="drop")
+        if cap is None or hi >= L:
+            break
+        lost = alive & (jnp.cumsum(alive) > cap)
+        ov_fwd = ov_fwd.at[src].max(lost.astype(I32), mode="drop")
+        sel, okc, _ = _count_compact(alive & ~lost, cap)
+        src = jnp.where(okc, src[sel], P)
+        st = ((cn[sel], ck[sel], cl[sel], cs[sel]), nc[sel], k[sel],
+              l[sel], s[sel], n[sel], okc, base[sel], plen[sel], mi[sel])
+    # final push of the surviving interval (incl. the single-char case)
+    push_final = valid0 & (out["s"] >= mip)
+    dummy_l = jnp.zeros((P, C), I64)
+    (cn, ck, _, cs), nc = push(
+        (out["cn"], out["ck"], dummy_l, out["cs"]), out["nc"], push_final,
+        out["n"], out["k"], jnp.zeros((P,), I64), out["s"])
+    return cn, ck, cs, nc, ov_fwd.astype(bool)
+
+
 @partial(jax.jit, static_argnums=(6, 7, 8))
 def _stage_round(dfm: DeviceFMIndex, enc, ridp, xp, mip, ov_read,
-                 C: int, MCAP: int, RCAP: int, msl=None):
+                 C: int, MCAP: int, schedule=None, msl=None):
     """One full per-pivot round: forward candidate collection, candidate
     flattening, two-phase backward walks, emission-rule winner selection —
     the device-resident replay of backend._round2.
@@ -137,9 +240,9 @@ def _stage_round(dfm: DeviceFMIndex, enc, ridp, xp, mip, ov_read,
     them to the host oracle)."""
     N, L = enc.shape
     P = ridp.shape[0]
-    cand_n, ck, _, cs, ncand = round2_forward_kernel(dfm, enc, ridp, xp,
-                                                     mip, C)
-    ov_cand = ncand > C
+    cand_n, ck, cs, ncand, ov_fwd = _fwd_phased(
+        dfm, enc, ridp, xp, mip, C, SCHED_FWD if P >= 4096 else None)
+    ov_cand = (ncand > C) | ov_fwd
     ncl = jnp.where(ov_cand, 0, jnp.minimum(ncand, C))
     endpos = jnp.cumsum(ncl)
     ov_lane = endpos > MCAP
@@ -149,29 +252,9 @@ def _stage_round(dfm: DeviceFMIndex, enc, ridp, xp, mip, ov_read,
     piv_idx = jnp.where(ok, (sel // C).astype(I32), P - 1)
     slot_idx = jnp.where(ok, (sel % C).astype(I32), 0)
 
-    col, k, s, died, alive = round2_backward_kernel(
-        dfm, enc, ridp, xp, ck, cs, piv_idx, slot_idx, mip, BWD_PHASE)
-    # compact survivors; walk them to completion
-    aliveok = alive & ok
-    sel2, ok2, _ = _count_compact(aliveok, RCAP)
-    lost = aliveok & (jnp.cumsum(aliveok) > RCAP)
-    ov_res = jnp.zeros((P,), I32).at[piv_idx].max(
-        lost.astype(I32), mode="drop").astype(bool)
-    piv2 = piv_idx[sel2]
-    rcol, rk, rs, rdied = round2_backward_resume_kernel(
-        dfm, enc,
-        jnp.where(ok2, ridp[piv2], 0),
-        jnp.where(ok2, xp[piv2], 0),
-        jnp.where(ok2, mip[piv2], 1),
-        jnp.where(ok2, col[sel2], 0),
-        jnp.where(ok2, k[sel2], 0),
-        L - BWD_PHASE,
-        jnp.where(ok2, s[sel2], 1))
-    upd = jnp.where(ok2, sel2, MCAP)   # out-of-range -> dropped
-    col = col.at[upd].set(rcol, mode="drop")
-    k = k.at[upd].set(rk, mode="drop")
-    s = s.at[upd].set(rs, mode="drop")
-    died = died.at[upd].set(rdied, mode="drop")
+    col, k, s, died, ov_res = _bwd_phased(
+        dfm, enc, ridp, xp, mip, ck, cs, piv_idx, slot_idx, ok, MCAP, L, P,
+        schedule)
 
     ov_piv = ov_cand | ov_lane | ov_res
     rid_l = ridp[piv_idx]
@@ -194,6 +277,81 @@ def _stage_round(dfm: DeviceFMIndex, enc, ridp, xp, mip, ov_read,
     return (_Emits(rid=rid_l[perm], m=m_abs[perm], n=n_abs[perm],
                    k=k[perm], s=s[perm], emit=last & ok_len[perm]),
             ov_piv)
+
+
+# survivor-compaction schedules: (steps, cap_divisor) per phase.  Tier-1
+# walks are front-loaded (p50 death = 0 steps, 3.4% alive after 16); tier-2
+# pivots live in repeat regions where the interval shrinks slowly (65%
+# alive after 32) — compacting early there loses lanes to phase caps, so
+# tier 2 locksteps long before its first compaction.
+SCHED_T1 = ((8, 2), (8, 6), (16, 16), (32, 32))
+SCHED_T2 = ((48, 2), (24, 4), (24, 16))
+
+
+def _bwd_phased(dfm, enc, ridp, xp, mip, ck, cs, piv_idx, slot_idx, ok,
+                MCAP: int, L: int, P: int, schedule=SCHED_T1):
+    """Backward candidate walks with survivor compaction between phases.
+
+    The walk-length distribution is extremely front-loaded (p50=0 steps,
+    32%% alive after 8, 3.4%% after 16 on the chr21 bench): lockstepping
+    all MCAP lanes for 32 steps then once-compacted resuming (the r4
+    two-phase scheme) pays ~2.8x the gather rows of this schedule, and
+    gathers are the machine's scarce resource (~76M descriptors/s).
+    Survivors that outrun a phase cap mark their pivot for the tier-2
+    retry / host oracle (exactness preserved).
+
+    Returns (col, k, s, died) in the original MCAP lane space plus
+    ov_res bool[P]."""
+    k = ck[piv_idx, slot_idx]
+    s = cs[piv_idx, slot_idx]
+    x = xp[piv_idx]
+    rid = ridp[piv_idx]
+    mi = mip[piv_idx]
+    piv = piv_idx
+    alive = ok & (x > 0) & (s > 0)
+    col = jnp.zeros((MCAP,), I32)
+    died = jnp.zeros((MCAP,), bool)
+    out_col = col
+    out_k = k
+    out_s = s
+    out_died = died
+    src = jnp.arange(MCAP, dtype=I32)
+    ov_res = jnp.zeros((P,), I32)
+    phases = tuple((steps, max(MCAP // div, 64))
+                   for steps, div in (schedule or SCHED_T1))
+    done_steps = 0
+    for steps, cap in phases:
+        alive, col, k, s, died = _bwd_walk(dfm, enc, rid, x, mi, alive,
+                                           col, k, s, died, steps)
+        done_steps += steps
+        out_col = out_col.at[src].set(col, mode="drop")
+        out_k = out_k.at[src].set(k, mode="drop")
+        out_s = out_s.at[src].set(s, mode="drop")
+        out_died = out_died.at[src].set(died, mode="drop")
+        if done_steps >= L:
+            alive = jnp.zeros_like(alive)
+            break
+        lost = alive & (jnp.cumsum(alive) > cap)
+        ov_res = ov_res.at[piv].max(lost.astype(I32), mode="drop")
+        sel, okc, _ = _count_compact(alive & ~lost, cap)
+        src = jnp.where(okc, src[sel], MCAP)
+        rid = rid[sel]
+        x = x[sel]
+        mi = mi[sel]
+        col = col[sel]
+        k = k[sel]
+        s = s[sel]
+        piv = piv[sel]
+        died = died[sel]
+        alive = okc
+    if done_steps < L:
+        alive, col, k, s, died = _bwd_walk(dfm, enc, rid, x, mi, alive,
+                                           col, k, s, died, L - done_steps)
+        out_col = out_col.at[src].set(col, mode="drop")
+        out_k = out_k.at[src].set(k, mode="drop")
+        out_s = out_s.at[src].set(s, mode="drop")
+        out_died = out_died.at[src].set(died, mode="drop")
+    return out_col, out_k, out_s, out_died, ov_res.astype(bool)
 
 
 @partial(jax.jit, static_argnums=(4,))
@@ -376,20 +534,19 @@ class FusedSeeder:
     def caps(N: int, L: int):
         from .backend import pivot_cap
         return dict(P1=pivot_cap(L), PCAP=4 * N, C1=32, C2=192,
-                    MCAP=24 * N, RCAP=6 * N, PT2=max(N // 4, 512),
-                    MT2=10 * N, RT2=3 * N, P2CAP=2 * N, MCAP2=20 * N,
-                    RCAP2=5 * N, SCAP=12 * N, OCAP=28 * N, OVCAP=4096)
+                    MCAP=32 * N, PT2=max(N // 4, 512), MT2=8 * N,
+                    P2CAP=2 * N, MCAP2=24 * N, SCAP=12 * N, OCAP=28 * N,
+                    OVCAP=4096)
 
-    def _round_tiered(self, encj, ridp, xp, mip, ov_read, cp, msl,
-                      MCAP, RCAP):
+    def _round_tiered(self, encj, ridp, xp, mip, ov_read, cp, msl, MCAP):
         """Tier-1 round + on-device tier-2 retry of overflowed pivots.
         Returns (emits concat, residual-oracle (f, rid, x, mi) arrays)."""
         dfm = self.dfm
         e1, ov1 = _stage_round(dfm, encj, ridp, xp, mip, ov_read,
-                               cp["C1"], MCAP, RCAP, msl)
+                               cp["C1"], MCAP, SCHED_T1, msl)
         ridb, xb, mib, lostb = _stage_retry(ov1, ridp, xp, mip, cp["PT2"])
         e2, ov2 = _stage_round(dfm, encj, ridb, xb, mib, ov_read,
-                               cp["C2"], cp["MT2"], cp["RT2"], msl)
+                               cp["C2"], cp["MT2"], SCHED_T2, msl)
         e = _concat_emits(e1, e2)
         f = jnp.concatenate([lostb, ov2 & (ridb >= 0)])
         rid = jnp.concatenate([ridp, ridb])
@@ -409,13 +566,13 @@ class FusedSeeder:
         mi1 = jnp.ones((cp["PCAP"],), I64)
         msl = jnp.int32(opt.min_seed_len)
         e1, ov1 = self._round_tiered(encj, ridp, xp, mi1, ov_read, cp,
-                                     msl, cp["MCAP"], cp["RCAP"])
+                                     msl, cp["MCAP"])
         split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
         ridp2, xp2, mip2, lost2, x2_l, mi2_l = _stage_select2(
             e1, jnp.int32(split_len), jnp.int64(opt.split_width),
             cp["P2CAP"])
         e2, ov2 = self._round_tiered(encj, ridp2, xp2, mip2, ov_read, cp,
-                                     msl, cp["MCAP2"], cp["RCAP2"])
+                                     msl, cp["MCAP2"])
         if opt.max_mem_intv > 0:
             msl_p1 = max(opt.min_seed_len + 1, 2)
             cap3 = L // msl_p1 + 1

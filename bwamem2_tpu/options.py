@@ -65,6 +65,7 @@ class MemOptions:
     max_occ: int = 500
     max_chain_gap: int = 10000
     n_threads: int = 1
+    verbose: int = 3      # bwa_verbose analog (-v); >=4 adds debug dumps
     chunk_size: int = 10_000_000
     mask_level: float = 0.50
     drop_ratio: float = 0.50

@@ -8,6 +8,7 @@ I/O overlapped with the current chunk's compute (double buffering).
 
 from __future__ import annotations
 
+import os
 import queue
 import sys
 import threading
@@ -17,10 +18,68 @@ from .io.fastq import FastxReader, read_chunk
 from .utils.profiling import PROF
 
 
+class ChunkJournal:
+    """Chunk-granular resume journal for plain (unsharded) runs.
+
+    A sidecar `<out>.resume` records one line per COMPLETED chunk —
+    "idx n_reads end_offset" — appended and flushed only after that
+    chunk's records are flushed to the output file, so the journal never
+    claims bytes that didn't reach the OS.  On restart, the output file is
+    truncated to the last journaled offset (dropping any partial chunk)
+    and the journaled chunks are skipped.  Chunk boundaries are a pure
+    function of the input stream and task_size, so the restarted run's
+    remaining chunks are identical to the uninterrupted run's."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.n_done = 0
+        self.n_reads = 0
+        self.end_offset = None   # None until the header offset is known
+        if os.path.exists(path):
+            good = []
+            with open(path) as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) != 3 or not all(
+                            x.isdigit() for x in parts):
+                        break   # torn write: ignore the tail
+                    idx, nr, off = (int(x) for x in parts)
+                    if idx != self.n_done:
+                        break
+                    self.n_done += 1
+                    self.n_reads += nr
+                    self.end_offset = off
+                    good.append(line)
+            with open(path, "w") as f:   # drop any torn tail
+                f.writelines(good)
+        self._f = None
+
+    def truncate_output(self, out_path: str, header_end: int) -> None:
+        """Drop any partial chunk past the last journaled offset.  With no
+        journaled chunks the file is cut back to the header (which the
+        caller just rewrote identically)."""
+        end = self.end_offset if self.end_offset is not None else header_end
+        with open(out_path, "r+b") as f:
+            f.truncate(end)
+
+    def mark_done(self, idx: int, n_reads: int, out) -> None:
+        out.flush()
+        if self._f is None:
+            self._f = open(self.path, "a")
+        self._f.write(f"{idx} {n_reads} {out.tell()}\n")
+        self._f.flush()
+
+    def close(self) -> None:
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+
+
 def run_pipeline(aligner, ks1: FastxReader, ks2: FastxReader | None,
                  task_size: int, out, pes0=None, copy_comment=False,
                  pipeline_depth: int = 2, verbose: int = 3,
-                 n_workers: int = 2) -> int:
+                 n_workers: int = 2, resume=None) -> int:
     """Stream chunks through the aligner; returns total reads processed.
 
     `n_workers` compute threads each process whole chunks: while one blocks
@@ -34,10 +93,18 @@ def run_pipeline(aligner, ks1: FastxReader, ks2: FastxReader | None,
     `aligner` may be a LIST of aligners (one per chip, each with a
     device-pinned backend): chunks round-robin across them — data
     parallelism over chips with a replicated index and zero collectives,
-    the scale-out shape of SURVEY §5.8."""
+    the scale-out shape of SURVEY §5.8.
+
+    `resume`: optional ChunkJournal — chunks it already holds are read
+    from the input (to keep chunk boundaries, read-id bases, and per-chunk
+    insert-size estimation identical) but not re-aligned; each completed
+    chunk is journaled after its ordered write, so a killed run restarted
+    with the same arguments produces a byte-identical output file
+    (SURVEY §5.4's chunk-granular restart; the reference has none)."""
     aligners = aligner if isinstance(aligner, (list, tuple)) else [aligner]
     q_in: queue.Queue = queue.Queue(maxsize=max(pipeline_depth, n_workers))
     done = object()
+    skip = resume.n_done if resume is not None else 0
 
     def reader():
         n = 0
@@ -48,6 +115,10 @@ def run_pipeline(aligner, ks1: FastxReader, ks2: FastxReader | None,
                 for _ in range(max(n_workers, 1)):
                     q_in.put(done)
                 return
+            if idx < skip:   # journaled chunk: advance the stream only
+                idx += 1
+                n += len(reads)
+                continue
             if not copy_comment:
                 for r in reads:
                     r.comment = None
@@ -92,8 +163,8 @@ def run_pipeline(aligner, ks1: FastxReader, ks2: FastxReader | None,
     for w in workers:
         w.start()
 
-    n_processed = 0
-    next_idx = 0
+    n_processed = resume.n_reads if resume is not None else 0
+    next_idx = skip
     while True:
         with res_lock:
             while (next_idx not in results and n_done_workers[0] < nw
@@ -110,6 +181,8 @@ def run_pipeline(aligner, ks1: FastxReader, ks2: FastxReader | None,
             for r in reads:
                 out.write(r.sam)
                 r.sam = None
+            if resume is not None:
+                resume.mark_done(next_idx - 1, len(reads), out)
         if verbose >= 3:
             sys.stderr.write(
                 f"[M::pipeline] processed {len(reads)} reads in "

@@ -81,8 +81,8 @@ def test_fused_with_n_bases_and_short_reads(fm):
 @pytest.mark.parametrize("caps_override", [
     dict(C1=3),                     # tier-1 cand overflow -> tier-2 retry
     dict(C1=3, C2=5),               # both tiers overflow -> oracle
-    dict(MCAP=96, RCAP=16),         # lane + resume overflow -> tier-2
-    dict(MCAP=96, MT2=64, RT2=8),   # both tiers' lanes overflow -> oracle
+    dict(MCAP=96),                  # lane + phase-cap overflow -> tier-2
+    dict(MCAP=96, MT2=64),          # both tiers' lanes overflow -> oracle
     dict(C1=3, PT2=2, OVCAP=2),     # retry + oracle-list overflow -> reads
     dict(P2CAP=2),                  # round-2 pivot-lane overflow
     dict(SCAP=64),                  # merged-SMEM truncation -> read fallback

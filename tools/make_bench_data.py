@@ -125,6 +125,9 @@ def main() -> None:
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--pairs", type=int, default=N_PAIRS)
     ap.add_argument("--force", action="store_true")
+    ap.add_argument("--fq-prefix", default="reads",
+                    help="reads filename prefix ({prefix}_r1.fq) — lets "
+                         "several read-set sizes share one genome/index")
     ap.add_argument("--dir", default=os.path.join(REPO, ".tmp",
                                                   "bench_chr21"))
     args = ap.parse_args()
@@ -138,8 +141,8 @@ def main() -> None:
         print("[bench-data] building index", file=sys.stderr)
         from bwamem2_tpu.index.build import build_index
         build_index(fa, fa)
-    fq1 = os.path.join(args.dir, "reads_r1.fq")
-    fq2 = os.path.join(args.dir, "reads_r2.fq")
+    fq1 = os.path.join(args.dir, f"{args.fq_prefix}_r1.fq")
+    fq2 = os.path.join(args.dir, f"{args.fq_prefix}_r2.fq")
     if args.force or not os.path.exists(fq1):
         print(f"[bench-data] sampling {args.pairs} 2x{READ_LEN}bp pairs",
               file=sys.stderr)
