@@ -132,6 +132,12 @@ def _lib():
             POINTER(FmiC), np.ctypeslib.ndpointer(np.uint8,
                                                   flags="C_CONTIGUOUS"),
             _pi64, c_int64, _pi32, _pi32, _pi64, c_int32]
+        lib.rt_sa_entries.restype = None
+        lib.rt_sa_entries.argtypes = [
+            POINTER(FmiC),
+            np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            _pi64, c_int64, _pi64]
         lib.rt_collect_smems_reads.restype = POINTER(SmemsOutC)
         lib.rt_collect_smems_reads.argtypes = [
             POINTER(FmiC), np.ctypeslib.ndpointer(np.uint8,
@@ -303,6 +309,21 @@ def collect_smems_reads(fm, encs, opt) -> list[list[tuple]]:
     for t in tuples:
         per_read[t[0]].append(t)
     return per_read
+
+
+def sa_entries_host(fm, positions: np.ndarray) -> np.ndarray:
+    """Host-native SA resolution (get_sa_entries batch) — the patch-path
+    stand-in for the device sa_lookup kernel."""
+    lib = _lib()
+    fc = fmi_view(fm)
+    pos = np.ascontiguousarray(positions, np.int64)
+    out = np.zeros(len(pos), np.int64)
+    ms = np.ascontiguousarray(fm.sa_ms_byte, np.int8)
+    ls = np.ascontiguousarray(fm.sa_ls_word, np.uint32)
+    lib.rt_sa_entries(ctypes.byref(fc), ms, ls,
+                      pos.ctypes.data_as(_pi64), len(pos),
+                      out.ctypes.data_as(_pi64))
+    return out
 
 
 def smems_pivots(fm, encs, prid, px, min_intv, min_seed_len: int):

@@ -1496,6 +1496,33 @@ static void sam_pe_one(const BnsC &bns, const MemOptC &opt,
 
 extern "C" {
 
+// get_sa_entry_compressed over a batch (FMI_search.cpp:1103-1175): the
+// host-side SA resolution used by the fused-seeding patch path
+// (ops/backend._patch_chunk) so rare capacity-overflow repairs never cost
+// a device round trip.  Matches ops/salookup.py exactly, including the
+// sentinel-walk case and the int8 sign-extension of the ms byte.
+void rt_sa_entries(const FmiC *f, const int8_t *sa_ms,
+                   const uint32_t *sa_ls,
+                   const i64 *pos, i64 n, i64 *out) {
+    for (i64 i = 0; i < n; ++i) {
+        i64 sp = pos[i], off = 0;
+        bool sent = false;
+        while (sp & 7) {
+            i64 blk = sp >> 6;
+            u64 bit = 1ull << (63 - (sp & 63));
+            i32 b = 4;
+            for (i32 c = 0; c < 4; ++c)
+                if (f->one_hot[blk * 4 + c] & bit) { b = c; break; }
+            if (b == 4) { sent = true; break; }   // sentinel slot
+            sp = f->counts[b] + fmi_occ(*f, sp, b);
+            ++off;
+        }
+        out[i] = sent ? off
+                      : ((((i64)sa_ms[sp >> 3]) << 32)
+                         + (i64)sa_ls[sp >> 3]) + off;
+    }
+}
+
 // Batched mem_sort_dedup_patch + ALT marking over a chunk (the tail of
 // worker_aln, bwamem.cpp:1141-1169).  Rewrites the reg arrays and offsets
 // in place (region count can only shrink).  Input regions must already have

@@ -5,6 +5,7 @@ Importing this package enables jax x64: FM-index coordinates span up to
 block ids (occ block id = pos >> 6 < 2**31 for any real genome).
 """
 
+import hashlib as _hashlib
 import os as _os
 
 import jax as _jax
@@ -12,9 +13,18 @@ import jax as _jax
 _jax.config.update("jax_enable_x64", True)
 
 # persistent compilation cache: the kernel set is small and shape-bucketed,
-# so warm starts skip all XLA compiles
+# so warm starts skip all XLA compiles.  The dir is keyed by the XLA/JAX
+# environment: CPU executables AOT-compiled under one flag set (e.g. the
+# axon plugin env) carry target-machine features the plain-CPU env rejects
+# at load ("+prefer-no-scatter ... could lead to SIGILL" — observed as
+# real segfaults), so different environments must not share entries.
+_envkey = _hashlib.sha1(
+    (_os.environ.get("XLA_FLAGS", "") + "|"
+     + _os.environ.get("JAX_PLATFORMS", "") + "|"
+     + getattr(_jax, "__version__", "")).encode()).hexdigest()[:10]
 _cache = _os.environ.get("BWAMEM2_TPU_JAX_CACHE",
-                         _os.path.expanduser("~/.cache/bwamem2_tpu_jax"))
+                         _os.path.expanduser(
+                             f"~/.cache/bwamem2_tpu_jax/{_envkey}"))
 try:
     _os.makedirs(_cache, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache)

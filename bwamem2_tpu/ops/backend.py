@@ -360,11 +360,12 @@ class DeviceBackend:
             dev += extra[r]
             dev.sort(key=lambda t: (t[1] << 32) | t[2])
             merged[r] = dev
-        # fixed-floor bucket: patch batches vary chunk to chunk and would
-        # otherwise mint a fresh XLA compile per new bucket size
+        # host-native SA walks: a device dispatch here would contend with
+        # the already-saturated chip for a handful of positions
         (allpos_p, off_p, m_p, n_p, s_p, occ_p) = sa_positions_batch(
             opt, [merged[r] for r in patched])
-        coords_p = self.sa_lookup(allpos_p, lo=16384)
+        from ..native.hostrt import sa_entries_host
+        coords_p = sa_entries_host(self.fm, allpos_p)
 
         # splice: device segments for clean reads, oracle-merged segments
         # for patched reads

@@ -386,6 +386,49 @@ def occ_all4(dfm: DeviceFMIndex, pos):
     return lo4 + hi4 + n
 
 
+def occ_all4_32(dfm: DeviceFMIndex, pos):
+    """int32 occ(pos, c) for all 4 chars (occ_all4 for genomes whose
+    doubled length fits int32: the cp high bytes are identically zero, so
+    the low checkpoint lanes + in-block popcounts are the full count)."""
+    row, y, _, _ = _row(dfm, pos)
+    words = _u32(row[..., 4:8])
+    pmask = _prefix_masks(y)
+    lo = words & jnp.uint32(0x55555555)
+    hi = (words >> 1) & jnp.uint32(0x55555555)
+    ones = jnp.uint32(0x55555555)
+    n = []
+    for c in range(4):
+        zlo = lo if (c & 1) else lo ^ ones
+        zhi = hi if (c & 2) else hi ^ ones
+        z = zlo & zhi & pmask
+        n.append(jax.lax.population_count(z).sum(axis=-1))
+    n = jnp.stack(n, axis=-1).astype(jnp.int32)
+    sent = dfm.sentinel.astype(jnp.int32)
+    corr = (((pos - y) <= sent) & (sent < pos)).astype(jnp.int32)
+    n = n.at[..., 0].add(-corr)
+    return row[..., 0:4] + n
+
+
+def backward_ext_full32(dfm: DeviceFMIndex, counts32, k, l, s, a):
+    """backward_ext_full with int32 interval arithmetic (small genomes);
+    counts32 is dfm.counts pre-cast by the caller."""
+    occ_sp = occ_all4_32(dfm, k)
+    occ_ep = occ_all4_32(dfm, k + s)
+    kk = counts32[:4] + occ_sp
+    ss = occ_ep - occ_sp
+    sent32 = dfm.sentinel.astype(jnp.int32)
+    sent = ((k <= sent32) & (sent32 < k + s)).astype(jnp.int32)
+    l3 = l + sent
+    l2 = l3 + ss[..., 3]
+    l1 = l2 + ss[..., 2]
+    l0 = l1 + ss[..., 1]
+    a32 = a.astype(jnp.int32)
+    take_l = jnp.where(a32 == 0, l0,
+                       jnp.where(a32 == 1, l1,
+                                 jnp.where(a32 == 2, l2, l3)))
+    return _sel4(kk, a32), take_l, _sel4(ss, a32)
+
+
 def lf_step(dfm: DeviceFMIndex, k, s, a):
     """Backward extension by char a tracking only (k, s) — enough for
     SMEM enumeration and SA resolution (the RC-twin l is never consumed

@@ -289,7 +289,18 @@ def round3_replay_kernel(dfm: DeviceFMIndex, enc: jax.Array,
         return x, col, k, l, s, seg, nout, out_x, out_n, out_s, out_k
 
     st = (x, col, k, l, s, seg, nout, out_x, out_n, out_s, out_k)
-    st = fori_unroll2(0, 2 * L + 2, body, st)
+    # while-exit: typical chains finish after ~1.1*L of the 2L+2 bound
+    SMAX = 2 * L + 2
+
+    def cond(c_st):
+        return (c_st[0] < SMAX) & jnp.any(c_st[1][0] < lens)
+
+    def body16(c_st):
+        t0, inner = c_st
+        inner = fori_unroll2(0, 16, lambda i, s_: body(t0 + i, s_), inner)
+        return (t0 + jnp.int32(16), inner)
+
+    st = jax.lax.while_loop(cond, body16, (jnp.int32(0), st))[1]
     return st[6], st[7], st[8], st[9], st[10]
 
 
@@ -504,17 +515,26 @@ def round2_backward_resume_kernel(dfm: DeviceFMIndex, enc: jax.Array,
     return col, k, s, died
 
 
-def _bwd_walk(dfm, enc, rid, x, mi, alive, col, k, s, died, n_steps: int):
+def _bwd_walk(dfm, enc, rid, x, mi, alive, col, k, s, died, n_steps: int,
+              small: bool = False):
+    """`small`: the doubled genome fits int32 — carry (k, s, mi) as int32
+    and use the int32 occ path (occ_one32), roughly halving the per-step
+    elementwise op cost that sits on top of the two row gathers."""
     N, L = enc.shape
     enc_flat = enc.reshape(-1).astype(jnp.int32)
     base = rid * L + x - 1
+    if small:
+        counts32 = dfm.counts.astype(jnp.int32)
+        step = lambda k, s, a: lf_step32(dfm, counts32, k, s, a)
+    else:
+        step = lambda k, s, a: lf_step(dfm, k, s, a)
 
     def body(_, st):
         alive, col, k, s, died = st
         c = enc_flat[jnp.clip(base - col, 0, N * L - 1)]
         ok = alive & (col < x) & (c < 4)
         cc = jnp.where(ok, c, 0).astype(jnp.int32)
-        k2, s2 = lf_step(dfm, k, s, cc)
+        k2, s2 = step(k, s, cc)
         ext = ok & (s2 >= mi)
         dies = ok & (s2 < mi)
         died = died | dies

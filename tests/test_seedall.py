@@ -87,7 +87,7 @@ def test_fused_with_n_bases_and_short_reads(fm):
     dict(P2CAP=2),                  # round-2 pivot-lane overflow
     dict(SCAP=64),                  # merged-SMEM truncation -> read fallback
     dict(OCAP=128),                 # coordinate truncation -> read fallback
-    dict(PCAP=8),                   # round-1 pivot-lane overflow
+    dict(P1=2),                     # pivot-slot overflow -> whole-read oracle
 ])
 def test_fused_overflow_paths_match_legacy(fm, caps_override, monkeypatch):
     from bwamem2_tpu.ops.seedall import FusedSeeder

@@ -16,6 +16,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default=os.path.join(REPO, ".tmp",
                                                   "bench_chr21"))
+    ap.add_argument("--fq-prefix", default="reads")
     ap.add_argument("--task-bases", type=int, default=750_000)
     ap.add_argument("--workers", type=int, default=4)
     ap.add_argument("--passes", type=int, default=1)
@@ -30,8 +31,8 @@ def main():
     from bwamem2_tpu.utils.profiling import PROF
 
     prefix = os.path.join(args.dir, "genome.fa")
-    fq1 = os.path.join(args.dir, "reads_r1.fq")
-    fq2 = os.path.join(args.dir, "reads_r2.fq")
+    fq1 = os.path.join(args.dir, f"{args.fq_prefix}_r1.fq")
+    fq2 = os.path.join(args.dir, f"{args.fq_prefix}_r2.fq")
     fm = FMIndex.load(prefix)
     opt = MemOptions().finalize()
     opt.flag |= MEM_F_PE
