@@ -15,6 +15,8 @@ from ctypes import (POINTER, c_char_p, c_float, c_int8, c_int32, c_int64,
 
 import numpy as np
 
+from ..utils.profiling import PROF
+
 from . import get_lib
 
 _pi64 = POINTER(c_int64)
@@ -211,6 +213,15 @@ def extension_batch(fm, opt, reads, chains_flat, score_fn) -> FlatRegs:
             for rnd in range(max_try):
                 n = lib.rt_ext_pending(h, side, None, None, None, None,
                                        None, None, None, None)
+                if rnd > 0 and 0 < n < 768:
+                    # band-doubling retries are rare; a small retry batch
+                    # costs less on the host scalar kernel than a device
+                    # dispatch + fetch round trip (~27ms on the tunnel)
+                    PROF.count("ext.host_retry", int(n))
+                    rem = lib.rt_ext_apply(h, side, None)
+                    if rem == 0:
+                        break
+                    continue
                 scores = np.zeros((0, 6), np.int32)
                 if n:
                     d = dict(qoff=np.zeros(n, np.int64),

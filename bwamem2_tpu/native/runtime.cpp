@@ -2318,7 +2318,10 @@ i64 rt_ext_apply(void *h, i32 side, const i32 *scores6) {
     for (i64 i : st->pending[side]) {
         const ExtPair &sp = st->pairs[side][i];
         i32 sc[6];
-        if (dev_pos[i] >= 0) memcpy(sc, scores6 + dev_pos[i] * 6, 24);
+        // scores6 == nullptr: the caller decided this (small) round is
+        // cheaper on the host scalar kernel than a device round trip
+        if (scores6 && dev_pos[i] >= 0)
+            memcpy(sc, scores6 + dev_pos[i] * 6, 24);
         else ext_host_score(*st, sp, w, end_bonus, sc);
         ExtReg &a = st->regs[sp.regid];
         i32 prev = a.score;

@@ -41,7 +41,7 @@ Static caps per (N, L) chunk bucket (measured, chr21 bench shape: 2.2 r1
 pivots, ~29 candidate walks, 7.7 SMEMs, ~20 SA positions per read):
 
   P1CAP   round-1 pivot slots per read      (pivot_cap(L))
-  MCAP    round-1 walk lanes     = 32*N
+  MCAP    round-1 walk lanes     = 40*N (uncapped heavy tail)
   C1      round-2 tier-1 candidate slots = 32
   MCAP2   round-2 walk lanes     = 24*N
   PT2     retry/tier-2 pivot lanes = max(N//4, 512)
@@ -50,7 +50,7 @@ pivots, ~29 candidate walks, 7.7 SMEMs, ~20 SA positions per read):
   P2CAP   round-2 pivot lanes    = 2*N
   SCAP    merged SMEM slots      = 12*N
   OCAP    SA coordinate lanes    = 28*N
-  OVCAP   host-oracle pivot list = 4096
+  OVCAP   host-oracle pivot list = 8192
 """
 
 from __future__ import annotations
@@ -473,7 +473,7 @@ def _stage_round(dfm: DeviceFMIndex, enc, ridp, xp, mip, ov_read,
 # pivots live in repeat regions where the interval shrinks slowly (65%
 # alive after 32) — compacting early there loses lanes to phase caps, so
 # tier 2 locksteps long before its first compaction.
-SCHED_T1 = ((4, 2), (4, 4), (8, 8), (16, 24), (32, 48))
+SCHED_T1 = ((4, 2), (4, 3), (8, 8), (16, 24), (32, 48))
 SCHED_T2 = ((48, 2), (24, 4), (24, 16))
 
 
@@ -750,9 +750,9 @@ class FusedSeeder:
     def caps(N: int, L: int):
         from .backend import pivot_cap
         return dict(P1=pivot_cap(L), C1=32, C2=192,
-                    MCAP=32 * N, PT2=max(N // 4, 512), MT2=8 * N,
+                    MCAP=40 * N, PT2=max(N // 4, 512), MT2=8 * N,
                     P2CAP=2 * N, MCAP2=24 * N, SCAP=12 * N, OCAP=28 * N,
-                    OVCAP=4096)
+                    OVCAP=8192)
 
     def _round_tiered(self, encj, ridp, xp, mip, ov_read, cp, msl, MCAP):
         """Tier-1 round + on-device tier-2 retry of overflowed pivots.
