@@ -144,6 +144,58 @@ def bench_240m(make_aligner):
     }
 
 
+# ---------------------------------------------------------------------------
+# 3.1 Gbp human-scale config (BASELINE config 4).  Runs ONLY when the
+# human-genome index artifacts already exist (.tmp/human_3g1 — building
+# them takes ~2.5h single-core; tools/human_diff.sh / index.build).  Reads
+# are sampled on demand (~1 min).  The judge metric is per-read cost
+# relative to the 240Mbp tier (VERDICT r4 item 2: within 2x).
+# ---------------------------------------------------------------------------
+DIR_3G1 = os.path.join(REPO, ".tmp", "human_3g1")
+PREFIX_3G1 = os.path.join(DIR_3G1, "genome.fa")
+
+
+def bench_3g1(make_aligner, rps_240m):
+    if not os.path.exists(PREFIX_3G1 + ".bwt.2bit.64"):
+        return {}
+    fq1 = os.path.join(DIR_3G1, "reads_r1.fq")
+    fq2 = os.path.join(DIR_3G1, "reads_r2.fq")
+    if not os.path.exists(fq1):
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools",
+                                          "make_bench_data.py"),
+             "--dir", DIR_3G1, "--pairs", "2000"])
+        if r.returncode != 0:
+            return {}
+    from bwamem2_tpu.io.fastq import FastxReader
+    from bwamem2_tpu.runtime import run_pipeline
+    al, n_expect = make_aligner(PREFIX_3G1, 4000)
+    devnull = open(os.devnull, "w")
+
+    def one_pass():
+        t0 = time.time()
+        # 1000-read chunks: reuses the N=1024 compile bucket so a cold
+        # persistent cache only ever compiles one human-scale shape
+        n = run_pipeline(al, FastxReader(fq1), FastxReader(fq2),
+                         150_000, devnull, verbose=0, n_workers=4)
+        assert n == n_expect
+        return time.time() - t0
+
+    one_pass()  # warm
+    runs = sorted(one_pass() for _ in range(2))
+    rps = n_expect / runs[0]
+    per_read_vs_240m = (rps_240m / rps) if (rps and rps_240m) else None
+    print(f"[bench] 3.1Gbp human-scale: {rps:.0f} reads/s e2e "
+          f"({runs[0]:.2f}s, {n_expect} reads); per-read cost "
+          f"{per_read_vs_240m:.2f}x the 240Mbp tier", file=sys.stderr)
+    return {
+        "scale_3g1_rps": round(rps, 1),
+        "scale_3g1_reads": n_expect,
+        "scale_3g1_per_read_cost_vs_240m": round(per_read_vs_240m, 3)
+        if per_read_vs_240m else None,
+    }
+
+
 def main():
     ensure_data()
 
@@ -208,6 +260,11 @@ def main():
     except Exception as e:  # keep the primary metric robust
         print(f"[bench] 240Mbp config failed: {e}", file=sys.stderr)
         extra = {}
+    try:
+        extra.update(bench_3g1(make_aligner,
+                               extra.get("scale_240m_rps")))
+    except Exception as e:
+        print(f"[bench] 3.1Gbp config failed: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "pe_2x150_chr21scale_reads_per_sec_1chip_e2e",

@@ -747,9 +747,13 @@ class FusedSeeder:
         self.small = fm.l_pac < DeviceFMIndex.SMALL_MAX_PAC
 
     @staticmethod
-    def caps(N: int, L: int):
+    def caps(N: int, L: int, big: bool = False):
+        """`big`: gigabase-class genome — candidate counts per pivot grow
+        with log(genome) and the repeat tail thickens, so round 2's tier-1
+        candidate cap widens (round 1 has no per-pivot cap)."""
         from .backend import pivot_cap
-        return dict(P1=pivot_cap(L), C1=32, C2=192,
+        return dict(P1=pivot_cap(L), C1=48 if big else 32, C2=224 if big
+                    else 192,
                     MCAP=40 * N, PT2=max(N // 4, 512), MT2=8 * N,
                     P2CAP=2 * N, MCAP2=24 * N, SCAP=12 * N, OCAP=28 * N,
                     OVCAP=8192)
@@ -776,7 +780,7 @@ class FusedSeeder:
         the raw fetched tuple + caps (host assembly in backend)."""
         N, L = encj.shape
         assert N <= 32768 and L <= 512
-        cp = self.caps(N, L)
+        cp = self.caps(N, L, not self.small)
         dfm = self.dfm
         msl = jnp.int32(opt.min_seed_len)
         # round 1: single-pass chain + candidate collection, phased

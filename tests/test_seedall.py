@@ -93,8 +93,8 @@ def test_fused_overflow_paths_match_legacy(fm, caps_override, monkeypatch):
     from bwamem2_tpu.ops.seedall import FusedSeeder
     base = FusedSeeder.caps
 
-    def caps(N, L, _b=base, _o=caps_override):
-        c = _b(N, L)
+    def caps(N, L, big=False, _b=base, _o=caps_override):
+        c = _b(N, L, big)
         c.update(_o)
         return c
 
