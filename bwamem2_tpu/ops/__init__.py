@@ -13,24 +13,29 @@ import jax as _jax
 _jax.config.update("jax_enable_x64", True)
 
 # persistent compilation cache: the kernel set is small and shape-bucketed,
-# so warm starts skip all XLA compiles.  The dir is keyed by the XLA/JAX
-# environment: CPU executables AOT-compiled under one flag set (e.g. the
-# axon plugin env) carry target-machine features the plain-CPU env rejects
-# at load ("+prefer-no-scatter ... could lead to SIGILL" — observed as
-# real segfaults), so different environments must not share entries.
-_envkey = _hashlib.sha1(
-    (_os.environ.get("XLA_FLAGS", "") + "|"
-     + _os.environ.get("JAX_PLATFORMS", "") + "|"
-     + getattr(_jax, "__version__", "")).encode()).hexdigest()[:10]
-_cache = _os.environ.get("BWAMEM2_TPU_JAX_CACHE",
-                         _os.path.expanduser(
-                             f"~/.cache/bwamem2_tpu_jax/{_envkey}"))
-try:
-    _os.makedirs(_cache, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-except Exception:  # pragma: no cover
-    pass
+# so warm starts skip all XLA compiles.  TPU-backed runs only: XLA:CPU
+# AOT executables are not reliably round-trippable on this stack — cache
+# entries written under one flag environment carry target-machine
+# features another rejects at load ("+prefer-no-scatter ... could lead
+# to execution errors such as SIGILL"), and cache reads/writes under
+# concurrent compilation segfault outright (both observed as real
+# crashes in the CPU-mesh test suite).  The dir is additionally keyed by
+# the XLA/JAX environment so distinct flag sets never share entries.
+if "cpu" not in _os.environ.get("JAX_PLATFORMS", ""):
+    _envkey = _hashlib.sha1(
+        (_os.environ.get("XLA_FLAGS", "") + "|"
+         + _os.environ.get("JAX_PLATFORMS", "") + "|"
+         + getattr(_jax, "__version__", "")).encode()).hexdigest()[:10]
+    _cache = _os.environ.get("BWAMEM2_TPU_JAX_CACHE",
+                             _os.path.expanduser(
+                                 f"~/.cache/bwamem2_tpu_jax/{_envkey}"))
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           0.5)
+    except Exception:  # pragma: no cover
+        pass
 
 
 def round_up(n: int, m: int) -> int:
@@ -54,11 +59,16 @@ def bucket_pow2(n: int, lo: int = 256) -> int:
 def fori_unroll2(lo: int, hi: int, body, st):
     """lax.fori_loop with the body unrolled 2x: per-iteration loop overhead
     (state round trips, control) is a large share of small-state device
-    loops on this backend, and halving the trip count claws most of it
-    back.  `lo`/`hi` must be static."""
+    loops on the TPU backend, and halving the trip count claws most of it
+    back.  On CPU (the test mesh) the unroll buys nothing and doubles the
+    XLA program size — large accumulated-process compiles there have been
+    observed to segfault the XLA:CPU compiler — so it stays a plain loop.
+    `lo`/`hi` must be static."""
     import jax as _j
     if hi <= lo:
         return st
+    if _j.default_backend() == "cpu":
+        return _j.lax.fori_loop(lo, hi, body, st)
     n2 = (hi - lo) // 2
 
     def b2(i, s):

@@ -132,6 +132,15 @@ def run_pipeline(aligner, ks1: FastxReader, ks2: FastxReader | None,
 
     worker_err: list = []
 
+    # Serialize each aligner's FIRST-EVER chunk: concurrent first-use
+    # compiles from several worker threads (multiple device-pinned
+    # executable variants compiling + persistent-cache writes in parallel)
+    # segfault inside XLA/the jax compilation cache (observed on the
+    # 8-device virtual mesh).  Once an aligner is warm — across pipeline
+    # invocations — workers run fully concurrent; ordering/determinism are
+    # unaffected (the writer already sequences output by chunk index).
+    warm_lock = threading.Lock()
+
     def worker():
         while True:
             item = q_in.get()
@@ -143,8 +152,13 @@ def run_pipeline(aligner, ks1: FastxReader, ks2: FastxReader | None,
             idx, base, reads = item
             t0 = time.time()
             try:
-                aligners[idx % len(aligners)].process(reads, base,
-                                                      pes0=pes0)
+                al = aligners[idx % len(aligners)]
+                if not getattr(al, "_pipeline_warm", False):
+                    with warm_lock:
+                        al.process(reads, base, pes0=pes0)
+                        al._pipeline_warm = True
+                else:
+                    al.process(reads, base, pes0=pes0)
             except BaseException as e:  # propagate to the writer thread
                 with res_lock:
                     worker_err.append(e)

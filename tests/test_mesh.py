@@ -67,33 +67,59 @@ def test_roundrobin_pe_chunk_stream_identity_n8():
     extension, pairing) — is output-bit-identical to the single-device run
     for a multi-chunk PE stream (r4 VERDICT item 6's always-on half; the
     bench-scale decomposition numbers live in tools/scaling_bench.py
-    --mode roundrobin and the README table)."""
-    import io
+    --mode roundrobin and the README table).
 
-    from bwamem2_tpu.align.pipeline import Aligner
-    from bwamem2_tpu.io.fastq import FastxReader
-    from bwamem2_tpu.options import MEM_F_PE, MemOptions
-    from bwamem2_tpu.ops.backend import DeviceBackend
-    from bwamem2_tpu.runtime import run_pipeline
-    from conftest import DATA
+    Runs in a SUBPROCESS: compiling the 8 per-device executable variants
+    inside the long-lived suite process trips a context-dependent
+    XLA:CPU compile segfault (single-threaded, no cache involved); the
+    same program compiles and passes reliably in a fresh process."""
+    import subprocess
+    import sys
 
-    prefix = os.path.join(FIXTURES, "ref_small.fa")
-    fq1 = os.path.join(DATA, "reads_r1.fq")
-    fq2 = os.path.join(DATA, "reads_r2.fq")
-    fm = FMIndex.load(prefix)
-    sams = {}
-    for n in (1, 8):
-        opt = MemOptions().finalize()
-        opt.flag |= MEM_F_PE
-        aligners = [Aligner(fm, opt,
-                            backend=DeviceBackend(fm, opt, device=d),
-                            verbose=0)
-                    for d in jax.devices()[:n]]
-        out = io.StringIO()
-        # -K 20000 -> 5 chunks of ~66 pairs: chunk-held state (pestat,
-        # read-id bases) must be preserved across the device round-robin
-        run_pipeline(aligners, FastxReader(fq1), FastxReader(fq2),
-                     20000, out, verbose=0, n_workers=max(n, 2))
-        sams[n] = out.getvalue()
-    assert sams[8] == sams[1]
-    assert sams[1].count("\n") >= 700
+    prog = r"""
+import io, os, sys
+sys.path.insert(0, %r)
+from bwamem2_tpu.align.pipeline import Aligner
+from bwamem2_tpu.index.fmindex import FMIndex
+from bwamem2_tpu.io.fastq import FastxReader
+from bwamem2_tpu.options import MEM_F_PE, MemOptions
+from bwamem2_tpu.ops.backend import DeviceBackend
+from bwamem2_tpu.runtime import run_pipeline
+import jax
+
+prefix = %r
+fq1 = %r
+fq2 = %r
+fm = FMIndex.load(prefix)
+sams = {}
+for n in (1, 8):
+    opt = MemOptions().finalize()
+    opt.flag |= MEM_F_PE
+    aligners = [Aligner(fm, opt, backend=DeviceBackend(fm, opt, device=d),
+                        verbose=0) for d in jax.devices()[:n]]
+    out = io.StringIO()
+    # -K 20000 -> ~6 chunks: chunk-held state (pestat, read-id bases)
+    # must be preserved across the device round-robin
+    run_pipeline(aligners, FastxReader(fq1), FastxReader(fq2),
+                 20000, out, verbose=0, n_workers=max(n, 2))
+    sams[n] = out.getvalue()
+assert sams[8] == sams[1]
+assert sams[1].count("\n") >= 700
+print("RR-IDENTITY-OK")
+"""
+    import os as _os
+    repo = REPO if "REPO" in globals() else os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))
+    prog = prog % (repo,
+                   os.path.join(FIXTURES, "ref_small.fa"),
+                   os.path.join(os.path.dirname(FIXTURES), "data",
+                                "reads_r1.fq"),
+                   os.path.join(os.path.dirname(FIXTURES), "data",
+                                "reads_r2.fq"))
+    env = {**_os.environ, "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": _os.environ.get("XLA_FLAGS", "")
+           + " --xla_force_host_platform_device_count=8"}
+    r = subprocess.run([sys.executable, "-c", prog], capture_output=True,
+                       text=True, timeout=1500, env=env)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "RR-IDENTITY-OK" in r.stdout
