@@ -78,34 +78,27 @@ def test_fused_with_n_bases_and_short_reads(fm):
     _check_equal(fused, legacy)
 
 
-@pytest.mark.parametrize("caps_override", [
-    dict(C1=3),                     # tier-1 cand overflow -> tier-2 retry
-    dict(C1=3, C2=5),               # both tiers overflow -> oracle
-    dict(MCAP=96),                  # lane + phase-cap overflow -> tier-2
-    dict(MCAP=96, MT2=64),          # both tiers' lanes overflow -> oracle
-    dict(C1=3, PT2=2, OVCAP=2),     # retry + oracle-list overflow -> reads
-    dict(P2CAP=2),                  # round-2 pivot-lane overflow
-    dict(SCAP=64),                  # merged-SMEM truncation -> read fallback
-    dict(OCAP=128),                 # coordinate truncation -> read fallback
-    dict(P1=2),                     # pivot-slot overflow -> whole-read oracle
-])
-def test_fused_overflow_paths_match_legacy(fm, caps_override, monkeypatch):
-    from bwamem2_tpu.ops.seedall import FusedSeeder
-    base = FusedSeeder.caps
+def test_fused_overflow_paths_match_legacy():
+    """All nine forced-capacity-overflow configurations (tier-2 retries,
+    oracle fallbacks, truncation suffixes, whole-read fallbacks) produce
+    arrays identical to the legacy path.  Runs as ONE subprocess: the ~50
+    fresh stage compiles the forced caps mint trip a context-dependent
+    XLA:CPU compiler segfault inside the long-lived suite process (the
+    same programs compile and pass reliably in a fresh interpreter; see
+    tests/_seedall_overflow_main.py)."""
+    import subprocess
+    import sys
 
-    def caps(N, L, big=False, _b=base, _o=caps_override):
-        c = _b(N, L, big)
-        c.update(_o)
-        return c
-
-    monkeypatch.setattr(FusedSeeder, "caps", staticmethod(caps))
-    opt = MemOptions().finalize()
-    encs = _encs(48)
-    be = DeviceBackend(fm, opt)
-    fused = be.collect_chunk(encs, opt)
-    assert fused is not None
-    legacy = _legacy(be, fm, encs, opt)
-    _check_equal(fused, legacy)
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": os.environ.get("XLA_FLAGS", "")
+           + " --xla_force_host_platform_device_count=8"}
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__),
+                      "_seedall_overflow_main.py")],
+        capture_output=True, text=True, timeout=1800, env=env)
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-3000:])
+    assert "SEEDALL-OVERFLOW-OK" in r.stdout
 
 
 def test_fused_e2e_sam_matches_golden(fm):
