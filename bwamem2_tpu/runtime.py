@@ -91,9 +91,17 @@ def run_pipeline(aligner, ks1: FastxReader, ks2: FastxReader | None,
     any worker count.
 
     `aligner` may be a LIST of aligners (one per chip, each with a
-    device-pinned backend): chunks round-robin across them — data
-    parallelism over chips with a replicated index and zero collectives,
-    the scale-out shape of SURVEY §5.8.
+    device-pinned backend): each chunk runs on the LEAST-LOADED chip at
+    the moment a worker picks it up (ties break to the lowest device
+    index, so a single-chunk run is reproducible) — data parallelism over
+    chips with a replicated index and zero collectives, the scale-out
+    shape of SURVEY §5.8.  Dynamic assignment is the kthread
+    work-stealing analog (kthread.cpp:41-50): a pathological chunk (e.g.
+    an ultra-long-read batch) occupies one chip while every other chunk
+    drains over the remaining chips, instead of stalling a static
+    round-robin slot.  Results are device-invariant, and the writer
+    sequences output by chunk index, so the schedule never affects
+    output bytes.
 
     `resume`: optional ChunkJournal — chunks it already holds are read
     from the input (to keep chunk boundaries, read-id bases, and per-chunk
@@ -109,22 +117,28 @@ def run_pipeline(aligner, ks1: FastxReader, ks2: FastxReader | None,
     def reader():
         n = 0
         idx = 0
-        while True:
-            reads = read_chunk(ks1, ks2, task_size)
-            if not reads:
-                for _ in range(max(n_workers, 1)):
-                    q_in.put(done)
-                return
-            if idx < skip:   # journaled chunk: advance the stream only
+        try:
+            while True:
+                reads = read_chunk(ks1, ks2, task_size)
+                if not reads:
+                    break
+                if idx < skip:   # journaled chunk: advance the stream only
+                    idx += 1
+                    n += len(reads)
+                    continue
+                if not copy_comment:
+                    for r in reads:
+                        r.comment = None
+                q_in.put((idx, n, reads))
                 idx += 1
                 n += len(reads)
-                continue
-            if not copy_comment:
-                for r in reads:
-                    r.comment = None
-            q_in.put((idx, n, reads))
-            idx += 1
-            n += len(reads)
+        except BaseException as e:   # propagate instead of hanging the run
+            with res_lock:
+                worker_err.append(e)
+                res_lock.notify_all()
+        finally:
+            for _ in range(max(n_workers, 1)):
+                q_in.put(done)
 
     results: dict[int, list] = {}
     res_lock = threading.Condition()
@@ -141,6 +155,10 @@ def run_pipeline(aligner, ks1: FastxReader, ks2: FastxReader | None,
     # unaffected (the writer already sequences output by chunk index).
     warm_lock = threading.Lock()
 
+    # per-aligner in-flight chunk counts for least-loaded dispatch
+    load_lock = threading.Lock()
+    inflight = [0] * len(aligners)
+
     def worker():
         while True:
             item = q_in.get()
@@ -151,8 +169,11 @@ def run_pipeline(aligner, ks1: FastxReader, ks2: FastxReader | None,
                 return
             idx, base, reads = item
             t0 = time.time()
+            with load_lock:
+                ai = min(range(len(aligners)), key=lambda j: inflight[j])
+                inflight[ai] += 1
             try:
-                al = aligners[idx % len(aligners)]
+                al = aligners[ai]
                 if not getattr(al, "_pipeline_warm", False):
                     with warm_lock:
                         al.process(reads, base, pes0=pes0)
@@ -165,6 +186,9 @@ def run_pipeline(aligner, ks1: FastxReader, ks2: FastxReader | None,
                     n_done_workers[0] += 1
                     res_lock.notify_all()
                 return
+            finally:
+                with load_lock:
+                    inflight[ai] -= 1
             with res_lock:
                 results[idx] = (reads, time.time() - t0)
                 res_lock.notify_all()
